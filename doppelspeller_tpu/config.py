@@ -1,0 +1,161 @@
+"""Configuration for the TPU-native matcher.
+
+Reference knob set: settings.py:1-77.  Rebuilt as a frozen dataclass that is
+validated at construction, with the same `PROJECT_DATA_PATH` env-var override
+(reference settings.py:8-12) plus TPU-specific blocking/sharding knobs.
+"""
+
+from __future__ import annotations
+
+import os
+import warnings
+from dataclasses import dataclass, field, replace
+from typing import Tuple
+
+
+def _default_data_path() -> str:
+    path = os.environ.get("PROJECT_DATA_PATH")
+    if not path:
+        path = os.path.abspath("./data/")
+        warnings.warn(
+            f"Environment variable PROJECT_DATA_PATH not set! Using {path} as default!"
+        )
+    return os.path.abspath(path)
+
+
+# The post-transform character alphabet.  Index 0 is the pad/fill character
+# (reference: R_FILL_CHARACTER '-', settings.py:69-70); transformed titles can
+# only contain [a-z0-9 ], so '-' never collides with real text.
+ALPHABET = "- abcdefghijklmnopqrstuvwxyz0123456789"
+PAD_CODE = 0
+SPACE_CODE = 1
+# Characters that can actually appear in a transformed title (36 letters/digits
+# + space = 37).  The fixed trigram vocabulary is 37**3 — every possible
+# 3-gram gets a static integer id, so no host-side vocab dictionary is needed
+# and the index layout is identical for every dataset.
+N_TEXT_CHARS = 37  # [ a-z0-9] mapped to 0..36 (space=0) for trigram ids
+TRIGRAM_VOCAB_SIZE = N_TEXT_CHARS ** 3  # 50653
+
+
+@dataclass(frozen=True)
+class Config:
+    # ---- paths / IO (reference settings.py:17-62) ----
+    data_path: str = field(default_factory=_default_data_path)
+    ground_truth_file: str = "example_truth.csv"
+    train_file: str = "example_train.csv"
+    test_file: str = "example_test.csv"
+    test_with_actuals_file: str = "example_test_with_actuals.csv"
+    final_output_file: str = "final_output.csv"
+    model_file: str = "model.npz"
+    index_file: str = "index.npz"
+    delimiter: str = "|"
+    # Source-file column names (reference settings.py:20-43)
+    truth_id_column: str = "company_id"
+    truth_title_column: str = "name"
+    train_index_column: str = "train_index"
+    test_index_column: str = "test_index"
+
+    # ---- text / n-grams (reference settings.py:14-15,65-72) ----
+    n_grams: int = 3
+    max_characters: int = 255
+    number_of_words_features: int = 15
+
+    # ---- retrieval (reference settings.py:55-59) ----
+    top_n_training: int = 10
+    top_n_predicting: int = 100
+
+    # ---- thresholds (reference settings.py:75-77) ----
+    levenshtein_ratio_threshold: int = 94
+    prediction_probability_threshold: float = 0.9
+    false_positive_penalty_factor: float = 5.0
+    train_not_found_value: int = -1
+
+    # ---- training (reference settings.py:46-49 + train.py:99-112) ----
+    evaluation_fraction_generated: float = 0.05
+    evaluation_fraction_negative: float = 0.1
+    evaluation_fraction_positive: float = 0.05
+    gbt_max_depth: int = 5
+    gbt_eta: float = 0.1
+    gbt_min_child_weight: float = 1.0
+    gbt_num_boost_round: int = 1000
+    gbt_early_stopping_rounds: int = 50
+    gbt_lambda: float = 1.0
+    gbt_max_bins: int = 256
+    seed: int = 0
+
+    # ---- TPU execution knobs (new; no reference equivalent) ----
+    # queries scored per device step (rows of the MXU matmul)
+    query_block: int = 128
+    # max unique trigrams considered per query (titles have <=253 trigrams;
+    # company-style names have ~15-40 — overflowing trigrams are dropped from
+    # scoring but still counted in the union term, keeping scores conservative)
+    max_query_trigrams: int = 64
+    # truth titles per inner matmul tile
+    title_block: int = 32768
+    # batched pair block for levenshtein/feature kernels
+    pair_block: int = 4096
+    # length buckets for DP kernels
+    length_buckets: Tuple[int, ...] = (32, 64, 128, 256)
+    # mesh axis name used by the sharded index
+    mesh_axis: str = "titles"
+
+    def __post_init__(self):
+        if self.top_n_training > self.top_n_predicting:
+            raise ValueError(
+                "top_n_training cannot be greater than top_n_predicting "
+                "(reference settings.py:58-59)"
+            )
+        if self.n_grams != 3:
+            raise ValueError("only 3-grams are supported (fixed trigram vocab)")
+        if self.max_characters > 255:
+            raise ValueError("titles are limited to 255 chars (uint8 encoding)")
+
+    # -- derived paths --
+    def path(self, name: str) -> str:
+        return os.path.join(self.data_path, name)
+
+    @property
+    def ground_truth_path(self) -> str:
+        return self.path(self.ground_truth_file)
+
+    @property
+    def train_path(self) -> str:
+        return self.path(self.train_file)
+
+    @property
+    def test_path(self) -> str:
+        return self.path(self.test_file)
+
+    @property
+    def test_with_actuals_path(self) -> str:
+        return self.path(self.test_with_actuals_file)
+
+    @property
+    def final_output_path(self) -> str:
+        return self.path(self.final_output_file)
+
+    @property
+    def model_path(self) -> str:
+        return self.path(self.model_file)
+
+    @property
+    def index_path(self) -> str:
+        return self.path(self.index_file)
+
+    def with_(self, **kwargs) -> "Config":
+        return replace(self, **kwargs)
+
+
+_DEFAULT: Config | None = None
+
+
+def get_config() -> Config:
+    global _DEFAULT
+    if _DEFAULT is None:
+        _DEFAULT = Config()
+    return _DEFAULT
+
+
+def set_config(config: Config) -> None:
+    global _DEFAULT
+    _DEFAULT = config

@@ -1,0 +1,199 @@
+"""Device-side IDF-weighted Jaccard scoring + fused top-k.
+
+TPU-native replacement for the reference's numba scatter-add kernel
+``fast_jaccard`` (match_maker.py:16-50) and ``fast_arg_top_k``
+(match_maker.py:53-71).  Instead of an inverted-index scatter per query, a
+whole block of queries is scored at once as one MXU matmul:
+
+    scores[q, t] = Σ_g  W[q, g] · bits[g, t]
+
+where ``W`` is the (query-block × trigram-union) IDF-weight matrix prepared
+on the host and ``bits`` is unpacked on the fly from the bit-packed
+HBM-resident truth matrix (1 bit per (trigram, title) entry — 8× less HBM
+traffic than an int8 matrix).  The modified-Jaccard normalization
+(match_maker.py:50) and a running top-k merge are fused behind the same jit
+so intermediate score matrices never leave the device.
+
+Shapes are fully static: the host planner (ngram_index.plan_query_blocks)
+guarantees every call has the same (query_block, union, title_block) tiling,
+so XLA compiles exactly one program per index size.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from doppelspeller_tpu.config import Config, get_config
+from doppelspeller_tpu.ops.ngram_index import TruthIndex, plan_query_blocks
+from doppelspeller_tpu.utils.io import TitleSet
+
+LOGGER = logging.getLogger(__name__)
+
+
+def unpack_bits(packed: jnp.ndarray) -> jnp.ndarray:
+    """(R, NB) uint8 → (R, NB*8) {0,1} uint8, little-endian bit order."""
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    bits = (packed[:, :, None] >> shifts[None, None, :]) & jnp.uint8(1)
+    return bits.reshape(packed.shape[0], -1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "title_block", "score_dtype"),
+)
+def jaccard_topk_kernel(
+    packed: jnp.ndarray,      # uint8[V, ntp//8] device-resident truth bits
+    sums: jnp.ndarray,        # float32[ntp] per-title IDF sums
+    union_ids: jnp.ndarray,   # int32[U] trigram rows to gather
+    weights: jnp.ndarray,     # float32[QB, U] query IDF weights
+    maxint: jnp.ndarray,      # float32[QB] per-query union-IDF upper bound
+    nt: jnp.ndarray,          # int32 scalar: number of real titles
+    *,
+    k: int,
+    title_block: int,
+    score_dtype: str = "float32",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (top-k jaccard scores float32[QB, k], title positions int32[QB, k])."""
+    dtype = jnp.dtype(score_dtype)
+    # With float32 inputs force true-f32 MXU passes; the fast path is
+    # score_dtype="bfloat16" where DEFAULT precision is already bf16.
+    precision = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+    rows = packed[union_ids]                       # (U, ntp//8) row gather
+    ntp = rows.shape[1] * 8
+    nblocks = ntp // title_block
+    w = weights.astype(dtype)
+    qb = weights.shape[0]
+
+    def body(carry, blk):
+        vals_c, idx_c = carry
+        sl = jax.lax.dynamic_slice_in_dim(rows, blk * (title_block // 8), title_block // 8, axis=1)
+        bits = unpack_bits(sl).astype(dtype)       # (U, TB)
+        scores = jax.lax.dot_general(
+            w, bits,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )                                          # (QB, TB) f32
+        sums_blk = jax.lax.dynamic_slice_in_dim(sums, blk * title_block, title_block)
+        denom = sums_blk[None, :] + maxint[:, None] - scores
+        jacc = scores / jnp.maximum(denom, 1e-9)
+        tpos = blk * title_block + jax.lax.broadcasted_iota(jnp.int32, (1, title_block), 1)
+        jacc = jnp.where(tpos < nt, jacc, -1.0)
+        v, i = jax.lax.top_k(jacc, k)              # (QB, k)
+        gi = blk * title_block + i
+        vals = jnp.concatenate([vals_c, v], axis=1)
+        idxs = jnp.concatenate([idx_c, gi], axis=1)
+        v2, sel = jax.lax.top_k(vals, k)
+        i2 = jnp.take_along_axis(idxs, sel, axis=1)
+        return (v2, i2), None
+
+    init = (
+        jnp.full((qb, k), -jnp.inf, dtype=jnp.float32),
+        jnp.zeros((qb, k), dtype=jnp.int32),
+    )
+    (vals, idxs), _ = jax.lax.scan(body, init, jnp.arange(nblocks))
+    return vals, idxs
+
+
+@partial(jax.jit, static_argnames=("title_block", "score_dtype"))
+def jaccard_scores_kernel(
+    packed: jnp.ndarray,
+    sums: jnp.ndarray,
+    union_ids: jnp.ndarray,
+    weights: jnp.ndarray,
+    maxint: jnp.ndarray,
+    nt: jnp.ndarray,
+    *,
+    title_block: int,
+    score_dtype: str = "float32",
+) -> jnp.ndarray:
+    """Full (QB, ntp) jaccard matrix — used by tests/oracles on small indexes."""
+    dtype = jnp.dtype(score_dtype)
+    precision = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+    rows = packed[union_ids]
+    bits = unpack_bits(rows).astype(dtype)
+    scores = jax.lax.dot_general(
+        weights.astype(dtype), bits,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    denom = sums[None, :] + maxint[:, None] - scores
+    jacc = scores / jnp.maximum(denom, 1e-9)
+    tpos = jax.lax.broadcasted_iota(jnp.int32, (1, scores.shape[1]), 1)
+    return jnp.where(tpos < nt, jacc, -1.0)
+
+
+class JaccardScorer:
+    """Device-resident retrieval engine over a TruthIndex.
+
+    The analogue of reference MatchMaker.get_closest_matches
+    (match_maker.py:192-203), but batched: ``topk(queries)`` scores *all*
+    queries in static-shaped blocks and returns sorted candidate matrices.
+    """
+
+    def __init__(self, index: TruthIndex, config: Optional[Config] = None, device=None):
+        self.cfg = config or get_config()
+        self.index = index
+        self.device = device
+        self.packed_d = jax.device_put(index.packed, device)
+        self.sums_d = jax.device_put(index.sums, device)
+        self.nt_d = jnp.int32(index.num_titles)
+        self.score_dtype = getattr(self.cfg, "score_dtype", "float32")
+
+    def topk(
+        self,
+        queries: TitleSet,
+        k: Optional[int] = None,
+        rows: Optional[np.ndarray] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-k candidates for every query (or the subset ``rows``).
+
+        Returns (scores float32[N, k], positions int32[N, k]) where positions
+        index into ``index.title_ids``, sorted by descending jaccard score.
+        """
+        k = k or self.cfg.top_n_predicting
+        if self.index.num_titles < k:
+            raise ValueError(f"index has {self.index.num_titles} titles < k={k}")
+        plans = plan_query_blocks(queries, self.index, self.cfg, rows=rows)
+        n = sum(p.n_valid for p in plans)
+        out_scores = np.zeros((n, k), dtype=np.float32)
+        out_pos = np.zeros((n, k), dtype=np.int32)
+        row_of = {}
+        if rows is None:
+            rows_all = np.arange(len(queries))
+        else:
+            rows_all = np.asarray(rows)
+        for j, r in enumerate(rows_all):
+            row_of[int(r)] = j
+        for plan in plans:
+            vals, idxs = jaccard_topk_kernel(
+                self.packed_d,
+                self.sums_d,
+                jnp.asarray(plan.union_ids),
+                jnp.asarray(plan.weights),
+                jnp.asarray(plan.max_intersection),
+                self.nt_d,
+                k=k,
+                title_block=self.cfg.title_block,
+                score_dtype=self.score_dtype,
+            )
+            vals = np.asarray(vals[: plan.n_valid])
+            idxs = np.asarray(idxs[: plan.n_valid])
+            for slot, qrow in enumerate(plan.query_rows):
+                j = row_of[int(qrow)]
+                out_scores[j] = vals[slot]
+                out_pos[j] = idxs[slot]
+        return out_scores, out_pos
+
+    def topk_title_ids(self, queries: TitleSet, k: Optional[int] = None,
+                       rows: Optional[np.ndarray] = None) -> Tuple[np.ndarray, np.ndarray]:
+        """Like :meth:`topk` but mapping positions to external title ids."""
+        scores, pos = self.topk(queries, k=k, rows=rows)
+        return scores, self.index.title_ids[pos]

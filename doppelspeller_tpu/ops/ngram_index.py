@@ -1,0 +1,218 @@
+"""The truth-title trigram index: a bit-packed ngram×title matrix.
+
+TPU-native replacement for the reference MatchMaker's scipy ``lil_matrix``
+inverted index (match_maker.py:74-178).  Design:
+
+* The trigram vocabulary is *fixed*: every possible 3-gram over the 37-char
+  post-transform alphabet has a static id (V = 37³ = 50653).  No per-dataset
+  vocab dictionary, no host hash maps on the hot path.
+* The truth matrix is a **bit-packed occupancy matrix** ``packed[V, ntp/8]``
+  (bit t of row g set ⟺ truth title t contains trigram g).  At 500K titles
+  it is ~3.2 GB — HBM-resident on a single chip, or sharded over the title
+  axis across a mesh.  IDF weighting lives in a separate float32[V] table so
+  the big matrix stays 1 bit/entry.
+* Per-title IDF sums (the Jaccard denominator term, match_maker.py:102,174)
+  are precomputed at build time.
+
+Query-side preparation (the analogue of the reference's query sparse matrix,
+match_maker.py:155-165) happens on the host: each query block is compacted to
+the *union* of its trigram ids (so the device matmul contracts over a small
+shared axis) plus a dense (block × union) IDF-weight matrix.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from doppelspeller_tpu.config import TRIGRAM_VOCAB_SIZE, Config, get_config
+from doppelspeller_tpu.utils import text as T
+from doppelspeller_tpu.utils.io import TitleSet
+
+LOGGER = logging.getLogger(__name__)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass
+class TruthIndex:
+    """Host-side representation of the packed truth index."""
+
+    packed: np.ndarray      # uint8[V, ntp//8] little-endian bit-packed occupancy
+    idf: np.ndarray         # float32[V] log(N/df), 0 for unobserved trigrams
+    sums: np.ndarray        # float32[ntp] per-title IDF sum (0 for padding)
+    title_ids: np.ndarray   # int64[nt] external title ids
+    num_titles: int         # nt (real titles)
+    padded_titles: int      # ntp (multiple of title_block)
+    max_idf: float          # fallback IDF for query trigrams absent in truth
+
+    @property
+    def vocab_size(self) -> int:
+        return self.packed.shape[0]
+
+    def save(self, path: str) -> None:
+        """Checkpoint the built index (new capability — the reference rebuilds
+        its MatchMaker from CSV on every run, SURVEY.md §5)."""
+        np.savez_compressed(
+            path,
+            packed=self.packed,
+            idf=self.idf,
+            sums=self.sums,
+            title_ids=self.title_ids,
+            num_titles=np.int64(self.num_titles),
+            padded_titles=np.int64(self.padded_titles),
+            max_idf=np.float32(self.max_idf),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "TruthIndex":
+        z = np.load(path)
+        return cls(
+            packed=z["packed"],
+            idf=z["idf"],
+            sums=z["sums"],
+            title_ids=z["title_ids"],
+            num_titles=int(z["num_titles"]),
+            padded_titles=int(z["padded_titles"]),
+            max_idf=float(z["max_idf"]),
+        )
+
+
+def build_truth_index(truth: TitleSet, config: Optional[Config] = None) -> TruthIndex:
+    """Build the packed index from a truth TitleSet (host, numpy).
+
+    Semantics parity: IDF = ln(N/df) with per-title-unique trigram df
+    (reference match_maker.py:91-95,135-142); per-title sums as at
+    match_maker.py:174.
+    """
+    cfg = config or get_config()
+    nt = len(truth)
+    ntp = _round_up(max(nt, cfg.title_block), cfg.title_block)
+    nbytes = ntp // 8
+
+    LOGGER.info("[TruthIndex] building packed index: %d titles (padded %d)", nt, ntp)
+
+    # Per-title unique trigram ids (ragged, host numpy)
+    grams: List[np.ndarray] = [
+        T.trigram_ids_from_codes(truth.encoded[i], int(truth.lengths[i]))
+        for i in range(nt)
+    ]
+
+    # Document frequency and IDF over the fixed vocabulary
+    df = np.zeros(TRIGRAM_VOCAB_SIZE, dtype=np.int32)
+    for g in grams:
+        df[g] += 1
+    idf = T.idf_table_from_df(df, nt)
+    max_idf = float(idf.max()) if nt > 0 else 0.0
+
+    # Bit-pack: bit t of row g ⟺ title t contains trigram g (little-endian)
+    packed = np.zeros((TRIGRAM_VOCAB_SIZE, nbytes), dtype=np.uint8)
+    all_g = np.concatenate(grams) if grams else np.zeros(0, dtype=np.int32)
+    all_t = np.repeat(
+        np.arange(nt, dtype=np.int64), [len(g) for g in grams]
+    )
+    np.bitwise_or.at(
+        packed,
+        (all_g.astype(np.int64), all_t >> 3),
+        (np.uint8(1) << (all_t & 7).astype(np.uint8)),
+    )
+
+    # Per-title IDF sums
+    sums = np.zeros(ntp, dtype=np.float32)
+    for t, g in enumerate(grams):
+        sums[t] = idf[g].sum(dtype=np.float64)
+
+    return TruthIndex(
+        packed=packed,
+        idf=idf,
+        sums=sums,
+        title_ids=truth.ids.copy(),
+        num_titles=nt,
+        padded_titles=ntp,
+        max_idf=max_idf,
+    )
+
+
+@dataclass
+class QueryBlockPlan:
+    """One static-shaped device call: ≤ query_block queries whose trigram-id
+    union fits in ``union_size`` slots."""
+
+    query_rows: np.ndarray    # int64[qb] row numbers into the query set
+    union_ids: np.ndarray     # int32[union_size] gather rows (padded with 0)
+    weights: np.ndarray       # float32[query_block, union_size] IDF weights
+    max_intersection: np.ndarray  # float32[query_block] union-IDF upper bound
+    n_valid: int              # number of real queries in this block
+
+
+def plan_query_blocks(
+    queries: TitleSet,
+    index: TruthIndex,
+    config: Optional[Config] = None,
+    rows: Optional[np.ndarray] = None,
+) -> List[QueryBlockPlan]:
+    """Greedy host-side planner: pack queries into fixed-shape blocks.
+
+    Each block holds up to ``cfg.query_block`` queries and at most
+    ``cfg.query_block * 32`` union trigram slots (static shape).  A query's
+    *scoring* trigrams are exact — blocks are closed early rather than
+    dropping trigrams.  The max-intersection term uses the IDF-or-max-IDF
+    fallback of reference match_maker.py:151,197.
+    """
+    cfg = config or get_config()
+    if rows is None:
+        rows = np.arange(len(queries), dtype=np.int64)
+
+    union_cap = cfg.query_block * 32
+
+    # Precompute per-query trigram ids + weights (host)
+    q_grams: List[np.ndarray] = []
+    q_maxint = np.zeros(len(rows), dtype=np.float32)
+    for j, r in enumerate(rows):
+        g = T.trigram_ids_from_codes(queries.encoded[r], int(queries.lengths[r]))
+        q_grams.append(g)
+        w = np.where(index.idf[g] > 0.0, index.idf[g], np.float32(index.max_idf))
+        q_maxint[j] = w.sum(dtype=np.float64)
+
+    plans: List[QueryBlockPlan] = []
+    i = 0
+    n = len(rows)
+    while i < n:
+        block_rows: List[int] = []
+        union: np.ndarray = np.zeros(0, dtype=np.int32)
+        j = i
+        while j < n and len(block_rows) < cfg.query_block:
+            candidate = np.union1d(union, q_grams[j])
+            if len(candidate) > union_cap and block_rows:
+                break
+            union = candidate
+            block_rows.append(j)
+            j += 1
+        qb = cfg.query_block
+        union_ids = np.zeros(union_cap, dtype=np.int32)
+        union_ids[: len(union)] = union
+        weights = np.zeros((qb, union_cap), dtype=np.float32)
+        maxint = np.zeros(qb, dtype=np.float32)
+        for slot, qj in enumerate(block_rows):
+            pos = np.searchsorted(union, q_grams[qj])
+            # scoring uses real IDF only — trigrams absent from the truth DB
+            # have idf 0 and contribute nothing to the numerator, exactly as
+            # the reference scatter-add over truth rows (match_maker.py:46-48)
+            weights[slot, pos] = index.idf[q_grams[qj]]
+            maxint[slot] = q_maxint[qj]
+        plans.append(
+            QueryBlockPlan(
+                query_rows=rows[np.asarray(block_rows, dtype=np.int64)],
+                union_ids=union_ids,
+                weights=weights,
+                max_intersection=maxint,
+                n_valid=len(block_rows),
+            )
+        )
+        i = j
+    return plans

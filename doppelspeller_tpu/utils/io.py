@@ -1,0 +1,120 @@
+"""CSV ingestion → packed host arrays.
+
+Reference equivalents: common.py:50-137 (read_and_transform_input_csv and the
+typed loaders).  Instead of a pandas dataframe with object columns, loading
+produces a ``TitleSet`` of dense numpy arrays ready to ship to the device.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+
+from doppelspeller_tpu.config import Config, get_config
+from doppelspeller_tpu.utils import text as T
+
+LOGGER = logging.getLogger(__name__)
+
+
+@dataclass
+class TitleSet:
+    """A collection of titles with all derived encodings."""
+
+    titles: List[str]                 # raw input titles
+    transformed: List[str]            # normalized titles
+    ids: np.ndarray                   # int64[B] title_id / test_index / train_index
+    encoded: np.ndarray               # uint8[B, max_chars] char codes
+    lengths: np.ndarray               # int32[B] transformed lengths
+    labels: Optional[np.ndarray] = None  # int64[B] title_id labels (train only)
+    _words: Optional[List[List[str]]] = field(default=None, repr=False)
+
+    def __len__(self) -> int:
+        return len(self.transformed)
+
+    @property
+    def words(self) -> List[List[str]]:
+        if self._words is None:
+            self._words = [t.split() for t in self.transformed]
+        return self._words
+
+    @classmethod
+    def from_titles(
+        cls,
+        titles: List[str],
+        ids: Optional[np.ndarray] = None,
+        labels: Optional[np.ndarray] = None,
+        config: Optional[Config] = None,
+    ) -> "TitleSet":
+        cfg = config or get_config()
+        transformed = T.transform_titles(titles)
+        encoded = T.encode_titles(transformed, cfg.max_characters)
+        lengths = np.array(
+            [min(len(t), cfg.max_characters) for t in transformed], dtype=np.int32
+        )
+        if ids is None:
+            ids = np.arange(len(titles), dtype=np.int64)
+        return cls(
+            titles=list(titles),
+            transformed=transformed,
+            ids=np.asarray(ids, dtype=np.int64),
+            encoded=encoded,
+            lengths=lengths,
+            labels=None if labels is None else np.asarray(labels, dtype=np.int64),
+        )
+
+
+def _read_csv(path: str, delimiter: str) -> pd.DataFrame:
+    return pd.read_csv(path, delimiter=delimiter)
+
+
+def load_ground_truth(config: Optional[Config] = None) -> TitleSet:
+    """Truth DB loader (reference common.py:75-88)."""
+    cfg = config or get_config()
+    LOGGER.info("Reading and transforming the ground truth data!")
+    df = _read_csv(cfg.ground_truth_path, cfg.delimiter)
+    ts = TitleSet.from_titles(
+        [str(x) for x in df[cfg.truth_title_column]],
+        ids=df[cfg.truth_id_column].astype(np.int64).to_numpy(),
+        config=cfg,
+    )
+    LOGGER.info("Read %d rows from the ground truth data input!", len(ts))
+    return ts
+
+
+def load_train_data(config: Optional[Config] = None) -> TitleSet:
+    """Train loader (reference common.py:91-104); ``labels`` holds the
+    title_id column (−1 = not in truth)."""
+    cfg = config or get_config()
+    LOGGER.info("Reading and transforming the train data!")
+    df = _read_csv(cfg.train_path, cfg.delimiter)
+    ts = TitleSet.from_titles(
+        [str(x) for x in df[cfg.truth_title_column]],
+        ids=df[cfg.train_index_column].astype(np.int64).to_numpy(),
+        labels=df[cfg.truth_id_column].astype(np.int64).to_numpy(),
+        config=cfg,
+    )
+    LOGGER.info("Read %d rows from the train data input!", len(ts))
+    return ts
+
+
+def load_test_data(config: Optional[Config] = None) -> TitleSet:
+    """Test loader (reference common.py:107-120)."""
+    cfg = config or get_config()
+    LOGGER.info("Reading and transforming the test data!")
+    df = _read_csv(cfg.test_path, cfg.delimiter)
+    ts = TitleSet.from_titles(
+        [str(x) for x in df[cfg.truth_title_column]],
+        ids=df[cfg.test_index_column].astype(np.int64).to_numpy(),
+        config=cfg,
+    )
+    LOGGER.info("Read %d rows from the test data input!", len(ts))
+    return ts
+
+
+def single_title_set(title: str, config: Optional[Config] = None) -> TitleSet:
+    """One-row TitleSet for single-title search (reference common.py:123-137)."""
+    return TitleSet.from_titles([title], ids=np.array([0], dtype=np.int64), config=config)
