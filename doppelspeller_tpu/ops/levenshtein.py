@@ -1,0 +1,131 @@
+"""Batched Levenshtein-ratio (indel/LCS) kernels.
+
+TPU-native replacement for the reference's numba DP kernel
+``fast_levenshtein_ratio`` (feature_engineering.py:25-63) and the
+python-Levenshtein C ``ratio`` (common.py:161-167).
+
+Key identity: the reference DP uses substitution cost 2 and ins/del cost 1 —
+the *indel* distance — and indel(a, b) = |a| + |b| − 2·LCS(a, b), so
+
+    ratio(a, b) = 100 · 2 · LCS(a, b) / (|a| + |b|).
+
+We therefore compute LCS length with a scan over the rows of the DP matrix
+where each row update is expressed as a **cummax** (runs on the VPU with no
+sequential inner loop):
+
+    row_i[j] = cummax_j( max(row_{i-1}[j], row_{i-1}[j-1] + eq[i, j]) )
+
+This is exact: LCS satisfies dp[i][j] = max(dp[i-1][j], dp[i][j-1],
+dp[i-1][j-1] + eq), and unrolling the dp[i][j-1] term yields a running max.
+Batched over pairs, padded/masked to static length buckets.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from doppelspeller_tpu.config import Config, get_config
+
+_BUCKETS = (32, 64, 128, 256)
+
+
+@jax.jit
+def lcs_kernel(a: jnp.ndarray, la: jnp.ndarray, b: jnp.ndarray, lb: jnp.ndarray) -> jnp.ndarray:
+    """LCS length for each pair.
+
+    a: uint8[B, La] (zero-padded), la: int32[B]; likewise b/lb.
+    Returns int32[B].  Positions ≥ length are masked out of the match
+    predicate, so padding never contributes.
+    """
+    B, La = a.shape
+    Lb = b.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, Lb), 1)
+    b_valid = col < lb[:, None]
+
+    def row_step(dp, ai_and_valid):
+        ai, valid_i = ai_and_valid
+        eq = ((b == ai[:, None]) & b_valid).astype(jnp.int32)
+        cand = jnp.maximum(dp[:, 1:], dp[:, :-1] + eq)
+        new_core = jax.lax.cummax(cand, axis=1)
+        new = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), new_core], axis=1)
+        dp = jnp.where(valid_i[:, None], new, dp)
+        return dp, None
+
+    dp0 = jnp.zeros((B, Lb + 1), jnp.int32)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (La, 1), 0)[:, 0]
+    valid = row_ids[:, None] < la[None, :]          # (La, B)
+    dp, _ = jax.lax.scan(row_step, dp0, (a.T, valid))
+    return dp[:, Lb]
+
+
+@jax.jit
+def ratio_kernel(a: jnp.ndarray, la: jnp.ndarray, b: jnp.ndarray, lb: jnp.ndarray) -> jnp.ndarray:
+    """Unrounded ratio·100 ∈ [0, 100] float32 for each pair."""
+    lcs = lcs_kernel(a, la, b, lb)
+    total = (la + lb).astype(jnp.float32)
+    return jnp.where(total > 0, 200.0 * lcs.astype(jnp.float32) / total, 100.0)
+
+
+def _bucket_of(n: int, buckets: Tuple[int, ...]) -> int:
+    for bkt in buckets:
+        if n <= bkt:
+            return bkt
+    return buckets[-1]
+
+
+def batched_ratio(
+    enc_a: np.ndarray,
+    len_a: np.ndarray,
+    enc_b: np.ndarray,
+    len_b: np.ndarray,
+    config: Optional[Config] = None,
+) -> np.ndarray:
+    """Host wrapper: unrounded float32 ratios for N pairs, any lengths ≤ 256.
+
+    Pairs are grouped into static length buckets (max of the two lengths) and
+    padded to fixed chunk sizes so XLA compiles at most |buckets| programs.
+    Callers apply the reference's integer semantics:
+    ``np.round`` (banker's, = python-Levenshtein int(round(x)), common.py:162)
+    or ``np.floor`` (numba's float→uint8 cast, feature_engineering.py:25).
+    """
+    cfg = config or get_config()
+    n = len(len_a)
+    len_a = np.asarray(len_a, dtype=np.int32)
+    len_b = np.asarray(len_b, dtype=np.int32)
+    out = np.zeros(n, dtype=np.float32)
+    pair_len = np.maximum(len_a, len_b)
+    buckets = [b for b in cfg.length_buckets if b < enc_a.shape[1]] + [enc_a.shape[1]]
+    chunk = cfg.pair_block
+    bucket_idx = np.searchsorted(np.asarray(buckets), pair_len)
+    for bi, bkt in enumerate(buckets):
+        sel = np.flatnonzero(bucket_idx == bi)
+        if len(sel) == 0:
+            continue
+        for start in range(0, len(sel), chunk):
+            idx = sel[start : start + chunk]
+            m = len(idx)
+            pad = chunk - m
+            a = np.zeros((chunk, bkt), dtype=np.uint8)
+            b = np.zeros((chunk, bkt), dtype=np.uint8)
+            a[:m] = enc_a[idx, :bkt]
+            b[:m] = enc_b[idx, :bkt]
+            la = np.zeros(chunk, dtype=np.int32)
+            lb = np.zeros(chunk, dtype=np.int32)
+            la[:m] = np.minimum(len_a[idx], bkt)
+            lb[:m] = np.minimum(len_b[idx], bkt)
+            r = np.asarray(ratio_kernel(jnp.asarray(a), jnp.asarray(la), jnp.asarray(b), jnp.asarray(lb)))
+            out[idx] = r[:m]
+    return out
+
+
+def ratio_rounded(
+    enc_a: np.ndarray, len_a: np.ndarray, enc_b: np.ndarray, len_b: np.ndarray,
+    config: Optional[Config] = None,
+) -> np.ndarray:
+    """int ratios with banker's rounding — parity with common.py:161-162."""
+    return np.round(batched_ratio(enc_a, len_a, enc_b, len_b, config)).astype(np.int32)

@@ -13,6 +13,13 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("PROJECT_DATA_PATH", "/tmp/doppel_tpu_test_data")
 
+# The axon sitecustomize force-sets jax_platforms="axon,cpu" (overriding the
+# env var), which would silently run "CPU" tests on the one real TPU chip.
+# Override it back before any backend is initialized.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import pathlib  # noqa: E402
 
 import pytest  # noqa: E402
