@@ -1,0 +1,310 @@
+"""The 66-dim (query, candidate) feature kernel.
+
+TPU-native replacement for the reference's numba guvectorize kernel
+``construct_features`` (feature_engineering.py:66-169).  Exact layout
+(SURVEY.md §2.2):
+
+    [0]      query #chars                    [1]  candidate #chars
+    [2]      query #words                    [3]  candidate #words
+    [4]      floor(ratio(query, candidate))
+    [5]      floor(ratio(reconstructed, candidate))
+    [6:21]   per-candidate-word best sliding-window ratio   (NaN-padded, 15)
+    [21:36]  per-candidate-word length                      (NaN-padded)
+    [36:51]  per-candidate-word IDF ln(N/count)             (NaN-padded)
+    [51:66]  1 + (nanmax(idf) − idf) / candidate_#words
+
+Integer ratio semantics follow the reference's uint8 cast = floor
+(feature_engineering.py:25 signature).  The reference's uint8 DP-cell
+overflow for pairs with |a|+|b| > 255 is NOT replicated (documented
+deviation — it is an overflow bug, not a feature).
+
+Design: all string work (word splitting, space removal) is vectorized numpy
+on the host; the device kernel receives static-shaped (B, W=15, WL) word
+tensors and runs the sliding-window LCS DP for *all* (pair, word, window
+position) triples simultaneously as a cummax-scan over word characters,
+then reconstructs the best-match title with one scatter and scores it.
+Pairs are bucketed by (max title length, max word length) so XLA compiles a
+handful of static programs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from doppelspeller_tpu.config import Config, SPACE_CODE, get_config
+from doppelspeller_tpu.ops.levenshtein import lcs_kernel
+
+FEATURES_COUNT = 66
+NUM_WORD_SLOTS = 15
+_BIG = 1 << 20
+
+
+# ---------------------------------------------------------------- host prep
+
+def split_words_host(enc: np.ndarray, lengths: np.ndarray, w_slots: int = NUM_WORD_SLOTS):
+    """Vectorized word-boundary extraction.
+
+    Returns (word_start int32[B, W], word_len int32[B, W], n_words int32[B]).
+    Word slots beyond the actual count have word_len == 0.  ``n_words`` is the
+    *uncapped* word count (spaces + 1, reference feature_engineering.py:105).
+    """
+    B, L = enc.shape
+    pos = np.arange(L + 1, dtype=np.int32)
+    ext = np.zeros((B, L + 1), dtype=bool)
+    ext[:, :L] = enc == SPACE_CODE
+    ext[:, :L] &= pos[:L][None, :] < lengths[:, None]
+    ext[np.arange(B), lengths] = True  # sentinel space at position len
+    pos_or_big = np.where(ext, pos[None, :], _BIG)
+    spos = np.sort(pos_or_big, axis=1)[:, :w_slots].astype(np.int32)
+    valid = spos < _BIG
+    start = np.concatenate(
+        [np.zeros((B, 1), np.int32), spos[:, :-1] + 1], axis=1
+    )
+    wlen = np.where(valid, spos - start, 0).astype(np.int32)
+    start = np.where(valid, start, 0).astype(np.int32)
+    n_words = (enc == SPACE_CODE)
+    n_words = (n_words & (np.arange(L)[None, :] < lengths[:, None])).sum(axis=1) + 1
+    return start, wlen, n_words.astype(np.int32)
+
+
+def gather_word_chars(enc: np.ndarray, start: np.ndarray, wlen: np.ndarray, wl_max: int):
+    """uint8[B, W, wl_max] word characters, zero-padded."""
+    B, L = enc.shape
+    W = start.shape[1]
+    j = np.arange(wl_max, dtype=np.int32)
+    idx = np.clip(start[:, :, None] + j[None, None, :], 0, L - 1)
+    chars = enc[np.arange(B)[:, None, None], idx]
+    return (chars * (j[None, None, :] < wlen[:, :, None])).astype(np.uint8)
+
+
+def remove_spaces_host(enc: np.ndarray, lengths: np.ndarray):
+    """Stable compaction: drop spaces (and padding) from each row.
+
+    Returns (enc_wo uint8[B, L], len_wo int32[B]).
+    """
+    B, L = enc.shape
+    pos = np.arange(L, dtype=np.int32)[None, :]
+    remove = (enc == SPACE_CODE) | (pos >= lengths[:, None])
+    order = np.argsort(remove, axis=1, kind="stable")
+    out = np.take_along_axis(enc, order, axis=1)
+    len_wo = lengths - ((enc == SPACE_CODE) & (pos < lengths[:, None])).sum(axis=1)
+    out = out * (pos < len_wo[:, None])
+    return out.astype(np.uint8), len_wo.astype(np.int32)
+
+
+# ------------------------------------------------------------- device kernel
+
+@jax.jit
+def _features_kernel(
+    q_enc: jnp.ndarray,       # uint8[B, TL]
+    q_len: jnp.ndarray,       # int32[B]
+    t_enc: jnp.ndarray,       # uint8[B, TL]
+    t_len: jnp.ndarray,       # int32[B]
+    word_chars: jnp.ndarray,  # uint8[B, W, WL]
+    word_len: jnp.ndarray,    # int32[B, W]
+    n_words_t: jnp.ndarray,   # int32[B] uncapped
+    q_wo: jnp.ndarray,        # uint8[B, TL] query without spaces
+    q_wo_len: jnp.ndarray,    # int32[B]
+    word_counts: jnp.ndarray, # float32[B, W] truth-DB word document counts
+    n_truth: jnp.ndarray,     # float32 scalar
+) -> jnp.ndarray:
+    B, W, WL = word_chars.shape
+    TL = q_wo.shape[1]
+    P = TL  # window start positions
+
+    valid_word = word_len > 0                                   # (B, W)
+
+    # ---- basic features ----
+    pos_t = jax.lax.broadcasted_iota(jnp.int32, (B, q_enc.shape[1]), 1)
+    n_words_q = (
+        ((q_enc == SPACE_CODE) & (pos_t < q_len[:, None])).sum(axis=1) + 1
+    ).astype(jnp.float32)
+    lev = _floor_ratio(lcs_kernel(q_enc, q_len, t_enc, t_len), q_len + t_len)
+
+    # ---- sliding-window LCS for every (pair, word, position) ----
+    p_iota = jax.lax.broadcasted_iota(jnp.int32, (B, P), 1)     # (B, P)
+    j_iota = jax.lax.broadcasted_iota(jnp.int32, (P, WL), 1)    # (P, WL)
+    pj = jax.lax.broadcasted_iota(jnp.int32, (P, WL), 0) + j_iota  # p + j
+    pj_clip = jnp.minimum(pj, TL - 1)
+    # window chars wc[b, p, j] = q_wo[b, p+j], zeroed past the string end
+    wc = (q_wo[:, pj_clip] * (pj < q_wo_len[:, None, None])).astype(jnp.uint8)  # (B, P, WL)
+
+    win_len = jnp.clip(
+        jnp.minimum(word_len[:, :, None], q_wo_len[:, None, None] - p_iota[:, None, :]),
+        0,
+    )                                                            # (B, W, P)
+    win_valid = (p_iota[:, None, :] < q_wo_len[:, None, None]) & valid_word[:, :, None]
+
+    # window char j participates only when j < win_len (the reference's
+    # window is q_wo[p : p + word_len], truncated at the string end)
+    j_in_window = jnp.arange(WL, dtype=jnp.int32) < win_len[..., None]  # (B, W, P, WL)
+
+    def dp_step(dp, i):
+        ai = jax.lax.dynamic_index_in_dim(word_chars, i, axis=2, keepdims=False)  # (B, W)
+        valid_i = i < word_len                                   # (B, W)
+        eq = (wc[:, None, :, :] == ai[:, :, None, None]) & (wc[:, None, :, :] > 0)
+        eq = (eq & j_in_window & valid_i[:, :, None, None]).astype(jnp.int32)  # (B, W, P, WL)
+        cand = jnp.maximum(dp[..., 1:], dp[..., :-1] + eq)
+        new = jax.lax.cummax(cand, axis=3)
+        new = jnp.concatenate([jnp.zeros((B, W, P, 1), jnp.int32), new], axis=-1)
+        return jnp.where(valid_i[:, :, None, None], new, dp), None
+
+    dp0 = jnp.zeros((B, W, P, WL + 1), jnp.int32)
+    dp, _ = jax.lax.scan(dp_step, dp0, jnp.arange(WL))
+    # LCS of word vs window = running max at the last column (row is
+    # non-decreasing, so the value at column WL equals the value at win_len)
+    lcs_wp = dp[..., WL]                                         # (B, W, P)
+
+    total_wp = (word_len[:, :, None] + win_len).astype(jnp.float32)
+    ratio_wp = jnp.floor(200.0 * lcs_wp.astype(jnp.float32) / jnp.maximum(total_wp, 1.0))
+    ratio_wp = jnp.where(win_valid, ratio_wp, -1.0)
+
+    best_ratio = jnp.max(ratio_wp, axis=2)                       # (B, W)
+    best_p = jnp.argmax(ratio_wp, axis=2).astype(jnp.int32)      # first max ⇒
+    # parity with the reference's strict '>' update (feature_engineering.py:147)
+    best_ratio = jnp.maximum(best_ratio, 0.0)
+
+    # ---- reconstructed title ----
+    matched = best_ratio > 0.0
+    best_win_len = jnp.clip(
+        jnp.minimum(word_len, q_wo_len[:, None] - best_p), 0
+    )
+    rec_len = jnp.where(matched, best_win_len, 1) * valid_word   # (B, W)
+    seg = rec_len + valid_word.astype(jnp.int32)                 # + joiner space
+    offsets = jnp.cumsum(seg, axis=1) - seg                      # exclusive
+    jw = jax.lax.broadcasted_iota(jnp.int32, (B, W, WL + 1), 2)
+    src_idx = jnp.minimum(best_p[:, :, None] + jw, TL - 1)
+    src = jnp.take_along_axis(
+        q_wo, src_idx.reshape(B, W * (WL + 1)), axis=1
+    ).reshape(B, W, WL + 1)
+    chars = jnp.where(matched[:, :, None], src, jnp.uint8(SPACE_CODE))
+    # the joiner space after each word (the trailing one is trimmed by recon_len)
+    chars = jnp.where(jw == rec_len[:, :, None], jnp.uint8(SPACE_CODE), chars)
+    write = (jw <= rec_len[:, :, None]) & valid_word[:, :, None]
+    dest = jnp.where(write, offsets[:, :, None] + jw, TL)        # TL = dropped
+    recon = jnp.zeros((B, TL + 1), jnp.uint8)
+    recon = recon.at[
+        jax.lax.broadcasted_iota(jnp.int32, (B, W, WL + 1), 0).reshape(B, -1),
+        dest.reshape(B, -1),
+    ].max(chars.reshape(B, -1), mode="drop")
+    recon = recon[:, :TL]
+    recon_len = jnp.maximum(seg.sum(axis=1) - 1, 0)              # drop last space
+    recon_ratio = _floor_ratio(
+        lcs_kernel(recon, recon_len, t_enc, t_len), recon_len + t_len
+    )
+
+    # ---- word IDF features ----
+    nan = jnp.float32(jnp.nan)
+    idf = jnp.where(
+        valid_word, jnp.log(n_truth / jnp.maximum(word_counts, 1.0)), nan
+    )
+    idf_max = _nanmax(idf, axis=1, keepdims=True)
+    ranks = 1.0 + (idf_max - idf) / n_words_t[:, None].astype(jnp.float32)
+
+    best_ratios_f = jnp.where(valid_word, best_ratio, nan)
+    word_len_f = jnp.where(valid_word, word_len.astype(jnp.float32), nan)
+
+    basic = jnp.stack(
+        [
+            q_len.astype(jnp.float32),
+            t_len.astype(jnp.float32),
+            n_words_q,
+            n_words_t.astype(jnp.float32),
+            lev,
+            recon_ratio,
+        ],
+        axis=1,
+    )
+    return jnp.concatenate([basic, best_ratios_f, word_len_f, idf, ranks], axis=1)
+
+
+def _floor_ratio(lcs: jnp.ndarray, total: jnp.ndarray) -> jnp.ndarray:
+    total_f = total.astype(jnp.float32)
+    return jnp.floor(
+        jnp.where(total_f > 0, 200.0 * lcs.astype(jnp.float32) / jnp.maximum(total_f, 1.0), 100.0)
+    )
+
+
+def _nanmax(x: jnp.ndarray, axis: int, keepdims: bool) -> jnp.ndarray:
+    big_neg = jnp.float32(-jnp.inf)
+    m = jnp.max(jnp.where(jnp.isnan(x), big_neg, x), axis=axis, keepdims=keepdims)
+    all_nan = jnp.all(jnp.isnan(x), axis=axis, keepdims=keepdims)
+    return jnp.where(all_nan, jnp.float32(jnp.nan), m)
+
+
+# ---------------------------------------------------------------- host entry
+
+def construct_features(
+    q_enc: np.ndarray,
+    q_len: np.ndarray,
+    t_enc: np.ndarray,
+    t_len: np.ndarray,
+    word_counts: np.ndarray,
+    n_truth: int,
+    config: Optional[Config] = None,
+) -> np.ndarray:
+    """Compute float32[N, 66] features for N (query, candidate) pairs.
+
+    ``word_counts`` is uint32[N, 15]: truth-DB document counts of the first
+    15 candidate words (reference feature_engineering.py:309-319).
+    """
+    cfg = config or get_config()
+    n = len(q_len)
+    q_len = np.asarray(q_len, dtype=np.int32)
+    t_len = np.asarray(t_len, dtype=np.int32)
+    out = np.zeros((n, FEATURES_COUNT), dtype=np.float32)
+
+    # host prep (vectorized numpy)
+    start, wlen, n_words_t = split_words_host(t_enc, t_len)
+    q_wo, q_wo_len = remove_spaces_host(q_enc, q_len)
+
+    max_word = wlen.max(axis=1)
+    pair_len = np.maximum(q_len, t_len)
+    buckets = [b for b in cfg.length_buckets if b < q_enc.shape[1]] + [q_enc.shape[1]]
+    w_buckets = [8, 16, 32, 64, q_enc.shape[1]]
+    tb_idx = np.searchsorted(np.asarray(buckets), pair_len)
+    wb_idx = np.searchsorted(np.asarray(w_buckets), np.maximum(max_word, 1))
+    chunk = max(cfg.pair_block // 16, 64)
+
+    for ti, TL in enumerate(buckets):
+        for wi, WL in enumerate(w_buckets):
+            if WL > TL:
+                continue
+            sel_mask = (tb_idx == ti) & (wb_idx == wi)
+            # long-word pairs whose word bucket exceeds the title bucket are
+            # impossible (a word is never longer than its title)
+            sel = np.flatnonzero(sel_mask)
+            if len(sel) == 0:
+                continue
+            wchars = gather_word_chars(t_enc[sel], start[sel], wlen[sel], WL)
+            for s in range(0, len(sel), chunk):
+                idx = sel[s : s + chunk]
+                m = len(idx)
+                pad = chunk - m
+
+                def pad2(x, fill=0):
+                    if pad == 0:
+                        return x
+                    shape = (pad,) + x.shape[1:]
+                    return np.concatenate([x, np.full(shape, fill, x.dtype)], axis=0)
+
+                feats = _features_kernel(
+                    jnp.asarray(pad2(q_enc[idx, :TL])),
+                    jnp.asarray(pad2(q_len[idx])),
+                    jnp.asarray(pad2(t_enc[idx, :TL])),
+                    jnp.asarray(pad2(np.maximum(t_len[idx], 1))),
+                    jnp.asarray(pad2(wchars[s : s + chunk][: m])),
+                    jnp.asarray(pad2(wlen[idx])),
+                    jnp.asarray(pad2(np.maximum(n_words_t[idx], 1))),
+                    jnp.asarray(pad2(q_wo[idx, :TL])),
+                    jnp.asarray(pad2(np.maximum(q_wo_len[idx], 1))),
+                    jnp.asarray(pad2(word_counts[idx].astype(np.float32))),
+                    jnp.float32(n_truth),
+                )
+                out[idx] = np.asarray(feats[:m])
+    return out
