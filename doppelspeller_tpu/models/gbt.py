@@ -1,0 +1,471 @@
+"""Gradient-boosted trees, trained on-device with JAX.
+
+TPU-native replacement for the reference's XGBoost 0.90 dependency
+(train.py:85-137 for training, predict.py:229-234 for inference):
+
+* histogram ("hist") tree growth, level-wise, depth 5, 256 bins, with
+  XGBoost's missing-value handling — NaN features go to a learned default
+  direction chosen by trying both sides at every split;
+* the reference's *custom* objective and metric (train.py:17-47):
+  weighted log loss  g = p(β + y − βy) − y,  h = p(1−p)(β + y − βy)  with
+  β = FALSE_POSITIVE_PENALTY_FACTOR, evaluated on raw margins starting at
+  base_score 0.5 (XGBoost passes raw margins to custom objectives — the
+  reference treats them as probabilities, and so do we);
+* early stopping on eval custom-error with best_ntree_limit semantics;
+* AUC on the watchlist for logging (train.py:104).
+
+Note: the reference also sets scale_pos_weight (train.py:94), but XGBoost
+ignores it when a custom objective is supplied — we replicate that (the knob
+exists but is unused by the custom objective).
+
+Histograms are built with one fused segment-sum per level over
+(node, feature, bin) keys; per-level split finding is a cumulative-sum scan
+over bins vectorized across all (node, feature) pairs — no per-node loops.
+Inference is a level-synchronous tensorized tree walk (gather per level)
+batched over samples and scanned over trees.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from doppelspeller_tpu.config import Config, get_config
+
+LOGGER = logging.getLogger(__name__)
+
+NB = 256          # bins per feature (255 = missing)
+MISSING_BIN = 255
+N_EDGES = NB - 2  # 254 cut points -> value bins 0..254
+
+
+@dataclass
+class GBTParams:
+    depth: int = 5
+    eta: float = 0.1
+    lambda_: float = 1.0
+    min_child_weight: float = 1.0
+    num_boost_round: int = 1000
+    early_stopping_rounds: int = 50
+    beta: float = 5.0                     # false-positive penalty factor
+    threshold: float = 0.9                # custom-error probability threshold
+    base_score: float = 0.5
+    seed: int = 0
+
+    @classmethod
+    def from_config(cls, cfg: Config) -> "GBTParams":
+        return cls(
+            depth=cfg.gbt_max_depth,
+            eta=cfg.gbt_eta,
+            lambda_=cfg.gbt_lambda,
+            min_child_weight=cfg.gbt_min_child_weight,
+            num_boost_round=cfg.gbt_num_boost_round,
+            early_stopping_rounds=cfg.gbt_early_stopping_rounds,
+            beta=cfg.false_positive_penalty_factor,
+            threshold=cfg.prediction_probability_threshold,
+            seed=cfg.seed,
+        )
+
+
+# ----------------------------------------------------------------- objective
+
+def weighted_log_loss_grad_hess(pred: jnp.ndarray, y: jnp.ndarray, beta: float):
+    """Reference train.py:32-39 (closed form)."""
+    w = beta + y - beta * y
+    g = pred * w - y
+    h = pred * (1.0 - pred) * w
+    return g, h
+
+
+def custom_error(pred: np.ndarray, y: np.ndarray, beta: float, threshold: float) -> float:
+    """Reference train.py:17-29: FN + beta*FP at the probability threshold."""
+    pos = pred > threshold
+    fn = float(y[~pos].sum())
+    fp = float((y[pos] == 0).sum()) * beta
+    return fn + fp
+
+
+def auc_score(pred: np.ndarray, y: np.ndarray) -> float:
+    order = np.argsort(pred, kind="stable")
+    ranks = np.empty(len(pred), dtype=np.float64)
+    ranks[order] = np.arange(1, len(pred) + 1)
+    # average ranks over ties
+    sorted_pred = pred[order]
+    uniq, inv, cnt = np.unique(sorted_pred, return_inverse=True, return_counts=True)
+    csum = np.cumsum(cnt)
+    avg_rank = (csum - (cnt - 1) / 2.0).astype(np.float64)
+    ranks[order] = avg_rank[inv]
+    n_pos = float(y.sum())
+    n_neg = float(len(y) - n_pos)
+    if n_pos == 0 or n_neg == 0:
+        return 0.5
+    return (ranks[y == 1].sum() - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+
+
+# ------------------------------------------------------------------- binning
+
+def compute_bin_edges(X: np.ndarray) -> np.ndarray:
+    """float32[F, N_EDGES] quantile cut points per feature (NaN-aware)."""
+    F = X.shape[1]
+    edges = np.zeros((F, N_EDGES), dtype=np.float32)
+    qs = np.linspace(0.0, 1.0, NB)[1:-1]  # 254 interior quantiles
+    for f in range(F):
+        col = X[:, f]
+        col = col[~np.isnan(col)]
+        if len(col) == 0:
+            edges[f] = np.arange(N_EDGES, dtype=np.float32)
+            continue
+        e = np.quantile(col, qs).astype(np.float32)
+        edges[f] = e
+    return edges
+
+
+def bin_features(X: np.ndarray, edges: np.ndarray) -> np.ndarray:
+    """uint8[N, F] bin codes; NaN → MISSING_BIN.  bin = Σ_j (x > e_j)."""
+    N, F = X.shape
+    out = np.zeros((N, F), dtype=np.uint8)
+    for f in range(F):
+        col = X[:, f]
+        nan = np.isnan(col)
+        b = np.searchsorted(edges[f], col, side="left")
+        b = np.clip(b, 0, N_EDGES)  # values above the last edge → bin 254
+        b[nan] = MISSING_BIN
+        out[:, f] = b.astype(np.uint8)
+    return out
+
+
+# ------------------------------------------------------------ tree builder
+
+@partial(jax.jit, static_argnames=("depth", "n_features"))
+def build_tree_kernel(
+    bins: jnp.ndarray,   # uint8[N, F]
+    g: jnp.ndarray,      # float32[N]
+    h: jnp.ndarray,      # float32[N]
+    *,
+    depth: int,
+    n_features: int,
+    lambda_: float,
+    min_child_weight: float,
+):
+    """Grow one depth-`depth` tree level-wise.  Returns heap arrays of size
+    2^(depth+1) − 1: (feat int32, split_bin int32, missing_left bool,
+    value float32, is_leaf bool)."""
+    N, F = bins.shape
+    n_heap = 2 ** (depth + 1) - 1
+    bins_i = bins.astype(jnp.int32)
+
+    feat = jnp.full((n_heap,), -1, jnp.int32)
+    split_bin = jnp.zeros((n_heap,), jnp.int32)
+    missing_left = jnp.zeros((n_heap,), jnp.bool_)
+    value = jnp.zeros((n_heap,), jnp.float32)
+    is_leaf = jnp.zeros((n_heap,), jnp.bool_)
+
+    node = jnp.zeros((N,), jnp.int32)          # heap position per sample
+    done = jnp.zeros((N,), jnp.bool_)          # sample sits at a final leaf
+
+    f_iota = jnp.arange(F, dtype=jnp.int32)
+
+    for level in range(depth):
+        n_nodes = 2 ** level
+        offset = n_nodes - 1
+        local = node - offset
+        S = n_nodes * F * NB
+
+        key = local[:, None] * (F * NB) + f_iota[None, :] * NB + bins_i
+        key = jnp.where(done[:, None], S, key)
+        flat = key.reshape(-1)
+        G = jax.ops.segment_sum(
+            jnp.broadcast_to(g[:, None], (N, F)).reshape(-1), flat, num_segments=S + 1
+        )[:S].reshape(n_nodes, F, NB)
+        H = jax.ops.segment_sum(
+            jnp.broadcast_to(h[:, None], (N, F)).reshape(-1), flat, num_segments=S + 1
+        )[:S].reshape(n_nodes, F, NB)
+
+        Gm = G[..., MISSING_BIN]
+        Hm = H[..., MISSING_BIN]
+        Gv = G[..., :MISSING_BIN]
+        Hv = H[..., :MISSING_BIN]
+        Gtot = Gv.sum(axis=2) + Gm               # (nodes, F) — same for all f
+        Htot = Hv.sum(axis=2) + Hm
+        GL = jnp.cumsum(Gv, axis=2)[..., :N_EDGES]   # split at k: bins ≤ k left
+        HL = jnp.cumsum(Hv, axis=2)[..., :N_EDGES]
+
+        def gain_of(GLx, HLx):
+            GRx = Gtot[..., None] - GLx
+            HRx = Htot[..., None] - HLx
+            ok = (HLx >= min_child_weight) & (HRx >= min_child_weight)
+            gn = (
+                GLx * GLx / (HLx + lambda_)
+                + GRx * GRx / (HRx + lambda_)
+                - (Gtot * Gtot / (Htot + lambda_))[..., None]
+            )
+            return jnp.where(ok, gn, -jnp.inf)
+
+        gain_ml = gain_of(GL + Gm[..., None], HL + Hm[..., None])  # missing left
+        gain_mr = gain_of(GL, HL)                                   # missing right
+        gain2 = jnp.stack([gain_ml, gain_mr], axis=-1)              # (n, F, K, 2)
+        gflat = gain2.reshape(n_nodes, -1)
+        best = jnp.argmax(gflat, axis=1)
+        best_gain = jnp.take_along_axis(gflat, best[:, None], axis=1)[:, 0]
+        best_f = (best // (N_EDGES * 2)).astype(jnp.int32)
+        best_k = ((best // 2) % N_EDGES).astype(jnp.int32)
+        best_ml = (best % 2) == 0
+
+        parent_score = Gtot[:, 0] * Gtot[:, 0] / (Htot[:, 0] + lambda_)
+        node_value = -Gtot[:, 0] / (Htot[:, 0] + lambda_)
+        # leaf if no valid positive-gain split or the node is empty
+        leaf_now = (best_gain <= 1e-10) | (Htot[:, 0] <= 0.0)
+        del parent_score
+
+        feat = jax.lax.dynamic_update_slice(
+            feat, jnp.where(leaf_now, -1, best_f), (offset,)
+        )
+        split_bin = jax.lax.dynamic_update_slice(split_bin, best_k, (offset,))
+        missing_left = jax.lax.dynamic_update_slice(missing_left, best_ml, (offset,))
+        value = jax.lax.dynamic_update_slice(value, node_value, (offset,))
+        is_leaf = jax.lax.dynamic_update_slice(is_leaf, leaf_now, (offset,))
+
+        # route samples
+        s_leaf = leaf_now[local]
+        s_f = best_f[local]
+        s_k = best_k[local]
+        s_ml = best_ml[local]
+        b = jnp.take_along_axis(bins_i, s_f[:, None], axis=1)[:, 0]
+        go_left = jnp.where(b == MISSING_BIN, s_ml, b <= s_k)
+        newly_done = (~done) & s_leaf
+        done = done | s_leaf
+        node = jnp.where(done, node, 2 * node + 1 + (1 - go_left.astype(jnp.int32)))
+        node = jnp.where(newly_done, offset + local, node)
+
+    # final level: everything still active becomes a leaf
+    n_nodes = 2 ** depth
+    offset = n_nodes - 1
+    local = jnp.where(done, n_nodes, node - offset)  # dump segment for done
+    Gn = jax.ops.segment_sum(g, local, num_segments=n_nodes + 1)[:n_nodes]
+    Hn = jax.ops.segment_sum(h, local, num_segments=n_nodes + 1)[:n_nodes]
+    value = jax.lax.dynamic_update_slice(value, -Gn / (Hn + lambda_), (offset,))
+    is_leaf = jax.lax.dynamic_update_slice(
+        is_leaf, jnp.ones((n_nodes,), jnp.bool_), (offset,)
+    )
+    return feat, split_bin, missing_left, value, is_leaf
+
+
+@partial(jax.jit, static_argnames=("depth",))
+def predict_tree_binned(
+    bins: jnp.ndarray, feat: jnp.ndarray, split_bin: jnp.ndarray,
+    missing_left: jnp.ndarray, value: jnp.ndarray, is_leaf: jnp.ndarray,
+    *, depth: int,
+) -> jnp.ndarray:
+    """Leaf value per sample for one tree over binned features."""
+    N = bins.shape[0]
+    bins_i = bins.astype(jnp.int32)
+    node = jnp.zeros((N,), jnp.int32)
+    for _ in range(depth):
+        f = feat[node]
+        k = split_bin[node]
+        ml = missing_left[node]
+        leaf = is_leaf[node] | (f < 0)
+        b = jnp.take_along_axis(bins_i, jnp.maximum(f, 0)[:, None], axis=1)[:, 0]
+        go_left = jnp.where(b == MISSING_BIN, ml, b <= k)
+        nxt = 2 * node + 1 + (1 - go_left.astype(jnp.int32))
+        node = jnp.where(leaf, node, nxt)
+    return value[node]
+
+
+# -------------------------------------------------------------------- model
+
+@dataclass
+class GBTModel:
+    feat: np.ndarray          # int32[T, n_heap]
+    threshold: np.ndarray     # float32[T, n_heap] raw-value split thresholds
+    split_bin: np.ndarray     # int32[T, n_heap]
+    missing_left: np.ndarray  # bool[T, n_heap]
+    value: np.ndarray         # float32[T, n_heap] (already eta-scaled)
+    is_leaf: np.ndarray       # bool[T, n_heap]
+    edges: np.ndarray         # float32[F, N_EDGES]
+    base_score: float
+    best_ntree_limit: int
+    depth: int
+    history: dict = field(default_factory=dict)
+
+    @property
+    def num_trees(self) -> int:
+        return self.feat.shape[0]
+
+    def predict(self, X: np.ndarray, ntree_limit: Optional[int] = None,
+                batch: int = 262144) -> np.ndarray:
+        """Raw-margin predictions (the reference thresholds these at 0.9
+        directly, predict.py:234,248)."""
+        nt = ntree_limit or self.best_ntree_limit or self.num_trees
+        nt = min(nt, self.num_trees)
+        out = np.zeros(len(X), dtype=np.float32)
+        for s in range(0, len(X), batch):
+            xb = X[s : s + batch]
+            out[s : s + len(xb)] = np.asarray(
+                _predict_raw_kernel(
+                    jnp.asarray(xb),
+                    jnp.asarray(self.feat[:nt]),
+                    jnp.asarray(self.threshold[:nt]),
+                    jnp.asarray(self.missing_left[:nt]),
+                    jnp.asarray(self.value[:nt]),
+                    jnp.asarray(self.is_leaf[:nt]),
+                    depth=self.depth,
+                    base_score=self.base_score,
+                )
+            )
+        return out
+
+    def feature_importance(self) -> np.ndarray:
+        """Split counts per feature, normalized — parity with the reference's
+        get_fscore-based importance (train.py:50-60)."""
+        nt = self.best_ntree_limit or self.num_trees
+        used = self.feat[:nt]
+        counts = np.zeros(self.edges.shape[0], dtype=np.float64)
+        valid = (used >= 0) & ~self.is_leaf[:nt]
+        np.add.at(counts, used[valid], 1.0)
+        total = counts.sum()
+        return counts / total if total > 0 else counts
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path,
+            feat=self.feat, threshold=self.threshold, split_bin=self.split_bin,
+            missing_left=self.missing_left, value=self.value, is_leaf=self.is_leaf,
+            edges=self.edges,
+            base_score=np.float32(self.base_score),
+            best_ntree_limit=np.int64(self.best_ntree_limit),
+            depth=np.int64(self.depth),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "GBTModel":
+        z = np.load(path)
+        return cls(
+            feat=z["feat"], threshold=z["threshold"], split_bin=z["split_bin"],
+            missing_left=z["missing_left"], value=z["value"], is_leaf=z["is_leaf"],
+            edges=z["edges"], base_score=float(z["base_score"]),
+            best_ntree_limit=int(z["best_ntree_limit"]), depth=int(z["depth"]),
+        )
+
+
+@partial(jax.jit, static_argnames=("depth", "base_score"))
+def _predict_raw_kernel(X, feat, thr, missing_left, value, is_leaf, *, depth, base_score):
+    N = X.shape[0]
+
+    def per_tree(carry, tree):
+        t_feat, t_thr, t_ml, t_val, t_leaf = tree
+        node = jnp.zeros((N,), jnp.int32)
+        for _ in range(depth):
+            f = t_feat[node]
+            th = t_thr[node]
+            ml = t_ml[node]
+            leaf = t_leaf[node] | (f < 0)
+            x = jnp.take_along_axis(X, jnp.maximum(f, 0)[:, None], axis=1)[:, 0]
+            go_left = jnp.where(jnp.isnan(x), ml, x <= th)
+            nxt = 2 * node + 1 + (1 - go_left.astype(jnp.int32))
+            node = jnp.where(leaf, node, nxt)
+        return carry + t_val[node], None
+
+    init = jnp.full((N,), base_score, jnp.float32)
+    out, _ = jax.lax.scan(per_tree, init, (feat, thr, missing_left, value, is_leaf))
+    return out
+
+
+# ------------------------------------------------------------------ training
+
+def train_gbt(
+    X: np.ndarray, y: np.ndarray,
+    X_eval: np.ndarray, y_eval: np.ndarray,
+    params: Optional[GBTParams] = None,
+    verbose_every: int = 25,
+) -> GBTModel:
+    """Boosting loop (reference train.py:85-137 semantics)."""
+    p = params or GBTParams()
+    N, F = X.shape
+    edges = compute_bin_edges(X)
+    Xb = bin_features(X, edges)
+    Xe = bin_features(X_eval, edges)
+
+    bins_d = jnp.asarray(Xb)
+    bins_e = jnp.asarray(Xe)
+    y_d = jnp.asarray(y.astype(np.float32))
+    y_eval_np = y_eval.astype(np.float32)
+
+    preds = jnp.full((N,), p.base_score, jnp.float32)
+    preds_e = jnp.full((len(X_eval),), p.base_score, jnp.float32)
+
+    trees: List[Tuple[np.ndarray, ...]] = []
+    best_err = np.inf
+    best_round = -1
+    history = {"train_auc": [], "eval_auc": [], "train_error": [], "eval_error": []}
+
+    grad_fn = jax.jit(partial(weighted_log_loss_grad_hess, beta=p.beta))
+
+    for rnd in range(p.num_boost_round):
+        g, h = grad_fn(preds, y_d)
+        tree = build_tree_kernel(
+            bins_d, g, h,
+            depth=p.depth, n_features=F,
+            lambda_=p.lambda_, min_child_weight=p.min_child_weight,
+        )
+        feat, split_bin, missing_left, value, is_leaf = tree
+        value = value * p.eta
+        preds = preds + predict_tree_binned(
+            bins_d, feat, split_bin, missing_left, value, is_leaf, depth=p.depth
+        )
+        preds_e = preds_e + predict_tree_binned(
+            bins_e, feat, split_bin, missing_left, value, is_leaf, depth=p.depth
+        )
+        trees.append(tuple(np.asarray(a) for a in (feat, split_bin, missing_left, value, is_leaf)))
+
+        pe = np.asarray(preds_e)
+        pt = np.asarray(preds)
+        err_e = custom_error(pe, y_eval_np, p.beta, p.threshold)
+        history["eval_error"].append(err_e)
+        if verbose_every and (rnd % verbose_every == 0 or rnd == p.num_boost_round - 1):
+            err_t = custom_error(pt, np.asarray(y_d), p.beta, p.threshold)
+            auc_t = auc_score(pt, np.asarray(y_d))
+            auc_e = auc_score(pe, y_eval_np)
+            history["train_error"].append(err_t)
+            history["train_auc"].append(auc_t)
+            history["eval_auc"].append(auc_e)
+            LOGGER.info(
+                "[%d] train-auc:%.6f eval-auc:%.6f train-error:%.0f eval-error:%.0f",
+                rnd, auc_t, auc_e, err_t, err_e,
+            )
+        if err_e < best_err:
+            best_err = err_e
+            best_round = rnd
+        if rnd - best_round >= p.early_stopping_rounds:
+            LOGGER.info("early stopping at round %d (best %d, eval-error %.0f)",
+                        rnd, best_round, best_err)
+            break
+
+    T = len(trees)
+    n_heap = 2 ** (p.depth + 1) - 1
+    feat_a = np.stack([t[0] for t in trees])
+    split_a = np.stack([t[1] for t in trees])
+    ml_a = np.stack([t[2] for t in trees])
+    val_a = np.stack([t[3] for t in trees])
+    leaf_a = np.stack([t[4] for t in trees])
+    # raw-value thresholds: thr = edges[f, k]
+    thr_a = np.zeros((T, n_heap), dtype=np.float32)
+    for t in range(T):
+        f = np.maximum(feat_a[t], 0)
+        thr_a[t] = edges[f, np.clip(split_a[t], 0, N_EDGES - 1)]
+
+    model = GBTModel(
+        feat=feat_a, threshold=thr_a, split_bin=split_a, missing_left=ml_a,
+        value=val_a, is_leaf=leaf_a, edges=edges,
+        base_score=p.base_score,
+        best_ntree_limit=best_round + 1,
+        depth=p.depth,
+        history=history,
+    )
+    return model
