@@ -1,0 +1,179 @@
+"""Headline benchmark: end-to-end matching throughput on one TPU chip.
+
+Reference baseline: 100,000 queries vs 500,000 truth titles in ~10 minutes
+(≈167 queries/sec) on CPU (reference README.md:7-8; BASELINE.md).  Target:
+the same workload in <10 s.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Scale is env-overridable for smoke runs:
+    BENCH_QUERIES (default 100000), BENCH_TITLES (default 500000),
+    BENCH_TRAIN_ROUNDS (default 60).
+
+The timed section is the full prediction cascade (exact → jaccard top-100 →
+fuzzy → model) over all queries.  Index build and model training are
+reported separately but not part of the headline number (the reference's
+~10-min claim is its matching run).
+"""
+
+import json
+import os
+import random
+import string
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_QPS = 100_000 / 600.0  # reference: 100K queries in ~10 min
+
+
+def make_synthetic_world(n_titles: int, n_queries: int, seed: int = 7):
+    """Company-name-like synthetic dataset with known ground truth."""
+    from doppelspeller_tpu.config import Config
+    from doppelspeller_tpu.utils.io import TitleSet
+    from doppelspeller_tpu.utils.misspell import generate_misspelled_name
+
+    rng = random.Random(seed)
+    # zipf-ish word vocabulary: common suffixes + random stems
+    common = [
+        "limited", "ltd", "holdings", "group", "services", "international",
+        "solutions", "consulting", "partners", "industries", "systems",
+        "technologies", "ventures", "capital", "global", "management",
+    ]
+    stems = [
+        "".join(rng.choice(string.ascii_lowercase) for _ in range(rng.randint(4, 10)))
+        for _ in range(max(n_titles // 12, 1000))
+    ]
+
+    def make_title():
+        n_words = rng.randint(1, 3)
+        words = [rng.choice(stems) for _ in range(n_words)]
+        if rng.random() < 0.75:
+            words.append(rng.choice(common))
+        if rng.random() < 0.15:
+            words.append(str(rng.randint(1, 99)))
+        return " ".join(words)
+
+    titles = [make_title() for _ in range(n_titles)]
+    cfg = Config()
+    truth = TitleSet.from_titles(
+        titles, ids=np.arange(1, n_titles + 1, dtype=np.int64), config=cfg
+    )
+
+    # queries: ~10% exact, ~60% misspelled, ~30% not in truth
+    q_titles, q_actual = [], []
+    for i in range(n_queries):
+        r = rng.random()
+        if r < 0.10:
+            j = rng.randrange(n_titles)
+            q_titles.append(titles[j])
+            q_actual.append(j + 1)
+        elif r < 0.70:
+            j = rng.randrange(n_titles)
+            q_titles.append(generate_misspelled_name(truth.transformed[j], rng))
+            q_actual.append(j + 1)
+        else:
+            q_titles.append(make_title())
+            q_actual.append(-1)
+    queries = TitleSet.from_titles(
+        q_titles, ids=np.arange(n_queries, dtype=np.int64), config=cfg
+    )
+    return cfg, truth, queries, np.asarray(q_actual)
+
+
+def quick_train_model(cfg, truth, scorer, rounds: int):
+    """Train a small-but-real model on synthetic pairs (stage-3 weights)."""
+    import random as _random
+
+    from doppelspeller_tpu.models.gbt import GBTParams
+    from doppelspeller_tpu.models.trainer import train_model
+    from doppelspeller_tpu.utils.io import TitleSet
+    from doppelspeller_tpu.utils.misspell import generate_misspelled_name
+
+    rng = _random.Random(13)
+    n_train = min(2000, len(truth))
+    rows = rng.sample(range(len(truth)), n_train)
+    t_titles, labels = [], []
+    for j in rows[: n_train // 2]:
+        t_titles.append(generate_misspelled_name(truth.transformed[j], rng))
+        labels.append(int(truth.ids[j]))
+    for _ in range(n_train // 2):
+        t_titles.append(
+            " ".join(
+                "".join(rng.choice(string.ascii_lowercase) for _ in range(6))
+                for _ in range(2)
+            )
+        )
+        labels.append(-1)
+    train = TitleSet.from_titles(
+        t_titles, ids=np.arange(len(t_titles)), labels=np.asarray(labels), config=cfg
+    )
+    params = GBTParams.from_config(cfg)
+    params.num_boost_round = rounds
+    params.early_stopping_rounds = rounds
+    model, _ = train_model(
+        config=cfg, train=train, truth=truth, scorer=scorer, params=params, save=False
+    )
+    return model
+
+
+def main():
+    n_queries = int(os.environ.get("BENCH_QUERIES", 100_000))
+    n_titles = int(os.environ.get("BENCH_TITLES", 500_000))
+    rounds = int(os.environ.get("BENCH_TRAIN_ROUNDS", 60))
+
+    from doppelspeller_tpu.ops.jaccard import JaccardScorer
+    from doppelspeller_tpu.ops.ngram_index import build_truth_index
+    from doppelspeller_tpu.pipeline import Matcher
+
+    t0 = time.time()
+    cfg, truth, queries, actual = make_synthetic_world(n_titles, n_queries)
+    t_data = time.time() - t0
+    print(f"# synthetic world: {n_titles} titles / {n_queries} queries "
+          f"in {t_data:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    index = build_truth_index(truth, cfg)
+    scorer = JaccardScorer(index, cfg)
+    t_index = time.time() - t0
+    print(f"# index build: {t_index:.1f}s ({index.packed.nbytes/1e9:.2f} GB packed)",
+          file=sys.stderr)
+
+    t0 = time.time()
+    model = quick_train_model(cfg, truth, scorer, rounds)
+    t_train = time.time() - t0
+    print(f"# model train: {t_train:.1f}s ({model.num_trees} trees)", file=sys.stderr)
+
+    matcher = Matcher(cfg, truth=truth, index=index, model=model)
+    matcher.scorer = scorer
+
+    # warmup on a copy of the first queries (compile all kernels)
+    from doppelspeller_tpu.utils.io import TitleSet as _TS
+
+    warm = _TS.from_titles(queries.titles[:256], config=cfg)
+    matcher.predict(warm)
+
+    t0 = time.time()
+    result = matcher.predict(queries)
+    elapsed = time.time() - t0
+    qps = n_queries / elapsed
+
+    matched = result.match_title_id != -1
+    correct = (result.match_title_id == actual).mean()
+    print(f"# predict: {elapsed:.1f}s  ({qps:.0f} q/s)  accuracy={correct:.4f}  "
+          f"stages={result.stage_counts}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": f"end-to-end match throughput ({n_queries} queries x {n_titles} titles, 1 chip)",
+        "value": round(qps, 1),
+        "unit": "queries/sec",
+        "vs_baseline": round(qps / BASELINE_QPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

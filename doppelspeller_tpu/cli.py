@@ -1,0 +1,147 @@
+"""Command-line interface.
+
+Reference parity (cli.py:14-132): the same verbs with the same verbosity
+contract (-v/-vv/-vvv → WARNING/INFO/DEBUG), plus TPU-specific extras
+(build-index checkpointing, bench).
+
+Run as ``python -m doppelspeller_tpu.cli`` or the ``doppel-tpu`` script.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+
+import click
+
+from doppelspeller_tpu import __build__, __version__
+from doppelspeller_tpu.utils.timing import time_usage
+
+LOGGER = logging.getLogger(__name__)
+
+
+@click.group()
+@click.version_option(version=__version__)
+@click.option("-v", "--verbose", count=True, envvar="LOGGING_LEVEL",
+              help="Make output more verbose. Use more v's for more verbosity.")
+def cli(verbose):
+    LOGGER.info("doppelspeller-tpu v%s-%s", __version__, __build__)
+    if verbose <= 1:
+        level = logging.WARNING
+    elif verbose == 2:
+        level = logging.INFO
+    else:
+        level = logging.DEBUG
+    logging.basicConfig(
+        stream=sys.stdout, level=level,
+        format="[%(asctime)s]%(levelname)s|%(name)s|%(message)s",
+    )
+
+
+@cli.command()
+@click.option("--source", default="/root/reference/example_dataset",
+              help="Directory containing the gzipped example dataset.")
+def stage_example_data_set(source):
+    """Copy + decompress the example dataset into PROJECT_DATA_PATH."""
+    import glob
+    import gzip
+    import shutil
+
+    from doppelspeller_tpu.config import get_config
+
+    cfg = get_config()
+    os.makedirs(cfg.data_path, exist_ok=True)
+    for gz in glob.glob(os.path.join(source, "*.csv.gz")):
+        dest = os.path.join(cfg.data_path, os.path.basename(gz)[:-3])
+        with gzip.open(gz, "rb") as f_in, open(dest, "wb") as f_out:
+            shutil.copyfileobj(f_in, f_out)
+        click.echo(f"staged {dest}")
+
+
+@cli.command()
+@time_usage
+def build_index():
+    """Build and checkpoint the packed truth index (new capability)."""
+    from doppelspeller_tpu.config import get_config
+    from doppelspeller_tpu.ops.ngram_index import build_truth_index
+    from doppelspeller_tpu.utils.io import load_ground_truth
+
+    cfg = get_config()
+    index = build_truth_index(load_ground_truth(cfg), cfg)
+    index.save(cfg.index_path)
+    click.echo(f"index saved to {cfg.index_path} "
+               f"({index.num_titles} titles, {index.packed.nbytes / 1e6:.0f} MB packed)")
+
+
+@cli.command()
+@time_usage
+def train_model():
+    """Train the model."""
+    from doppelspeller_tpu.models.trainer import train_model as _train
+
+    LOGGER.info("Training the model!")
+    model, report = _train()
+    em = report["error_matrix"]
+    click.echo(
+        f"trees={model.num_trees} best={model.best_ntree_limit} "
+        f"eval custom-error={report['eval_custom_error']:.0f} "
+        f"TP={em['tp']} TN={em['tn']} FP={em['fp']} FN={em['fn']}"
+    )
+
+
+@cli.command()
+@time_usage
+def generate_predictions():
+    """Generate predictions for the test file."""
+    from doppelspeller_tpu.config import get_config
+    from doppelspeller_tpu.pipeline import Matcher
+    from doppelspeller_tpu.utils.io import load_test_data
+
+    cfg = get_config()
+    LOGGER.info("Generating the predictions!")
+    matcher = Matcher(cfg)
+    result = matcher.predict(load_test_data(cfg))
+    result.save_csv(cfg.final_output_path, cfg.delimiter)
+    click.echo(f"output saved to {cfg.final_output_path}")
+
+
+@cli.command()
+@click.option("-t", "--title-to-search", "title", required=True)
+@time_usage
+def closest_search_single_title(title):
+    """Closest match for a single title."""
+    from doppelspeller_tpu.config import get_config
+    from doppelspeller_tpu.pipeline import Matcher
+    from doppelspeller_tpu.utils.io import single_title_set
+
+    title = title.strip()
+    if not title:
+        raise click.ClickException("empty --title-to-search")
+    cfg = get_config()
+    matcher = Matcher(cfg)
+    result = matcher.predict(single_title_set(title, cfg), single=True)
+    found = result.single_result()
+    click.echo(f"Closest match: {found}")
+
+
+@cli.command()
+@time_usage
+def get_predictions_accuracy():
+    """Print predictions accuracy vs the actuals file."""
+    from doppelspeller_tpu.config import get_config
+    from doppelspeller_tpu.pipeline import accuracy_report
+
+    cfg = get_config()
+    report = accuracy_report(cfg.test_with_actuals_path, cfg.final_output_path, cfg.delimiter)
+    click.echo(
+        f"\nCorrectly matched titles            {report['correctly_matched']}\n"
+        f"Incorrectly matched titles          {report['incorrectly_matched']}\n"
+        f"Correctly marked as not-found       {report['correctly_not_found']}\n"
+        f"Incorrectly marked as not-found     {report['incorrectly_not_found']}\n\n"
+        f"Custom Error                        {report['custom_error']}"
+    )
+
+
+if __name__ == "__main__":
+    cli()

@@ -8,9 +8,12 @@ TPU-native replacement for the reference's XGBoost 0.90 dependency
   direction chosen by trying both sides at every split;
 * the reference's *custom* objective and metric (train.py:17-47):
   weighted log loss  g = p(β + y − βy) − y,  h = p(1−p)(β + y − βy)  with
-  β = FALSE_POSITIVE_PENALTY_FACTOR, evaluated on raw margins starting at
-  base_score 0.5 (XGBoost passes raw margins to custom objectives — the
-  reference treats them as probabilities, and so do we);
+  β = FALSE_POSITIVE_PENALTY_FACTOR.  XGBoost 0.90's Booster.update feeds
+  the custom objective `predict(dtrain)` WITHOUT output_margin, so with
+  'objective': 'reg:logistic' the reference's p is sigmoid(margin) — i.e.
+  these formulas are exactly the margin-space grad/hess of β-weighted
+  logistic loss.  We therefore boost on margins (init logit(base_score)=0)
+  and apply the sigmoid for every prediction/metric, like the reference;
 * early stopping on eval custom-error with best_ntree_limit semantics;
 * AUC on the watchlist for logging (train.py:104).
 
@@ -76,11 +79,18 @@ class GBTParams:
 # ----------------------------------------------------------------- objective
 
 def weighted_log_loss_grad_hess(pred: jnp.ndarray, y: jnp.ndarray, beta: float):
-    """Reference train.py:32-39 (closed form)."""
+    """Reference train.py:32-39 (closed form).  ``pred`` is a probability
+    (sigmoid of the margin), exactly what XGBoost hands the custom obj."""
     w = beta + y - beta * y
     g = pred * w - y
     h = pred * (1.0 - pred) * w
     return g, h
+
+
+def margin_grad_hess(margin: jnp.ndarray, y: jnp.ndarray, beta: float):
+    """grad/hess w.r.t. the raw margin: p = sigmoid(margin)."""
+    p = jax.nn.sigmoid(margin)
+    return weighted_log_loss_grad_hess(p, y, beta)
 
 
 def custom_error(pred: np.ndarray, y: np.ndarray, beta: float, threshold: float) -> float:
@@ -142,7 +152,7 @@ def bin_features(X: np.ndarray, edges: np.ndarray) -> np.ndarray:
 
 # ------------------------------------------------------------ tree builder
 
-@partial(jax.jit, static_argnames=("depth", "n_features"))
+@partial(jax.jit, static_argnames=("depth", "n_features", "axis_name"))
 def build_tree_kernel(
     bins: jnp.ndarray,   # uint8[N, F]
     g: jnp.ndarray,      # float32[N]
@@ -152,10 +162,16 @@ def build_tree_kernel(
     n_features: int,
     lambda_: float,
     min_child_weight: float,
+    axis_name: Optional[str] = None,
 ):
     """Grow one depth-`depth` tree level-wise.  Returns heap arrays of size
     2^(depth+1) − 1: (feat int32, split_bin int32, missing_left bool,
-    value float32, is_leaf bool)."""
+    value float32, is_leaf bool).
+
+    With ``axis_name`` set (inside shard_map/pmap), histograms are psum-ed
+    over the data-parallel axis: every device grows the identical tree from
+    its local sample shard — the TPU-native equivalent of distributed
+    XGBoost histogram aggregation (a capability the reference lacks)."""
     N, F = bins.shape
     n_heap = 2 ** (depth + 1) - 1
     bins_i = bins.astype(jnp.int32)
@@ -186,6 +202,9 @@ def build_tree_kernel(
         H = jax.ops.segment_sum(
             jnp.broadcast_to(h[:, None], (N, F)).reshape(-1), flat, num_segments=S + 1
         )[:S].reshape(n_nodes, F, NB)
+        if axis_name is not None:
+            G = jax.lax.psum(G, axis_name)
+            H = jax.lax.psum(H, axis_name)
 
         Gm = G[..., MISSING_BIN]
         Hm = H[..., MISSING_BIN]
@@ -249,6 +268,9 @@ def build_tree_kernel(
     local = jnp.where(done, n_nodes, node - offset)  # dump segment for done
     Gn = jax.ops.segment_sum(g, local, num_segments=n_nodes + 1)[:n_nodes]
     Hn = jax.ops.segment_sum(h, local, num_segments=n_nodes + 1)[:n_nodes]
+    if axis_name is not None:
+        Gn = jax.lax.psum(Gn, axis_name)
+        Hn = jax.lax.psum(Hn, axis_name)
     value = jax.lax.dynamic_update_slice(value, -Gn / (Hn + lambda_), (offset,))
     is_leaf = jax.lax.dynamic_update_slice(
         is_leaf, jnp.ones((n_nodes,), jnp.bool_), (offset,)
@@ -300,8 +322,8 @@ class GBTModel:
 
     def predict(self, X: np.ndarray, ntree_limit: Optional[int] = None,
                 batch: int = 262144) -> np.ndarray:
-        """Raw-margin predictions (the reference thresholds these at 0.9
-        directly, predict.py:234,248)."""
+        """Probability predictions = sigmoid(margin), matching the
+        reference's reg:logistic predict output (predict.py:234,248)."""
         nt = ntree_limit or self.best_ntree_limit or self.num_trees
         nt = min(nt, self.num_trees)
         out = np.zeros(len(X), dtype=np.float32)
@@ -354,6 +376,10 @@ class GBTModel:
         )
 
 
+def _logit(p: float) -> float:
+    return float(np.log(p / (1.0 - p)))
+
+
 @partial(jax.jit, static_argnames=("depth", "base_score"))
 def _predict_raw_kernel(X, feat, thr, missing_left, value, is_leaf, *, depth, base_score):
     N = X.shape[0]
@@ -372,12 +398,63 @@ def _predict_raw_kernel(X, feat, thr, missing_left, value, is_leaf, *, depth, ba
             node = jnp.where(leaf, node, nxt)
         return carry + t_val[node], None
 
-    init = jnp.full((N,), base_score, jnp.float32)
+    base_margin = float(np.log(base_score / (1.0 - base_score)))
+    init = jnp.full((N,), base_margin, jnp.float32)
     out, _ = jax.lax.scan(per_tree, init, (feat, thr, missing_left, value, is_leaf))
-    return out
+    return jax.nn.sigmoid(out)
 
 
 # ------------------------------------------------------------------ training
+
+@partial(
+    jax.jit,
+    static_argnames=("depth", "n_rounds", "eta", "beta", "threshold",
+                     "lambda_", "min_child_weight", "base_margin"),
+)
+def _boost_scan(
+    bins: jnp.ndarray, y: jnp.ndarray,
+    bins_e: jnp.ndarray, y_e: jnp.ndarray,
+    m0: jnp.ndarray, me0: jnp.ndarray,
+    *, depth: int, n_rounds: int, eta: float, beta: float, threshold: float,
+    lambda_: float, min_child_weight: float, base_margin: float,
+):
+    """A segment of the boosting loop as ONE device program: no host
+    round-trips per round (the dominant cost through the TPU tunnel).
+    Returns stacked tree arrays, per-round train/eval custom-error
+    histories, and the final margins (to chain segments)."""
+    N, F = bins.shape
+
+    def round_step(carry, _):
+        margins, margins_e = carry
+        g, h = margin_grad_hess(margins, y, beta)
+        feat, split_bin, missing_left, value, is_leaf = build_tree_kernel(
+            bins, g, h, depth=depth, n_features=F,
+            lambda_=lambda_, min_child_weight=min_child_weight,
+        )
+        value = value * eta
+        margins = margins + predict_tree_binned(
+            bins, feat, split_bin, missing_left, value, is_leaf, depth=depth
+        )
+        margins_e = margins_e + predict_tree_binned(
+            bins_e, feat, split_bin, missing_left, value, is_leaf, depth=depth
+        )
+
+        def dev_err(margin, yy):
+            pred = jax.nn.sigmoid(margin)
+            pos = pred > threshold
+            fn = jnp.sum(yy * (~pos))
+            fp = jnp.sum((1.0 - yy) * pos) * beta
+            return fn + fp
+
+        out = (feat, split_bin, missing_left, value, is_leaf,
+               dev_err(margins, y), dev_err(margins_e, y_e))
+        return (margins, margins_e), out
+
+    (margins, margins_e), outs = jax.lax.scan(
+        round_step, (m0, me0), None, length=n_rounds
+    )
+    return outs + (margins, margins_e)
+
 
 def train_gbt(
     X: np.ndarray, y: np.ndarray,
@@ -385,75 +462,90 @@ def train_gbt(
     params: Optional[GBTParams] = None,
     verbose_every: int = 25,
 ) -> GBTModel:
-    """Boosting loop (reference train.py:85-137 semantics)."""
+    """Boosting (reference train.py:85-137 semantics).
+
+    Rounds run on-device in jitted scan segments of ``scan_chunk`` rounds
+    (one device program per segment — per-round host round-trips through
+    the TPU tunnel are the dominant cost otherwise; very long single scans
+    can fault the TPU runtime).  Early stopping is applied with XGBoost
+    semantics at segment granularity — training stops after the first
+    segment whose best round is ≥ early_stopping_rounds old, trees beyond
+    the stop point are discarded, best_ntree_limit = best_round + 1."""
     p = params or GBTParams()
     N, F = X.shape
     edges = compute_bin_edges(X)
     Xb = bin_features(X, edges)
     Xe = bin_features(X_eval, edges)
-
-    bins_d = jnp.asarray(Xb)
-    bins_e = jnp.asarray(Xe)
-    y_d = jnp.asarray(y.astype(np.float32))
     y_eval_np = y_eval.astype(np.float32)
 
-    preds = jnp.full((N,), p.base_score, jnp.float32)
-    preds_e = jnp.full((len(X_eval),), p.base_score, jnp.float32)
+    scan_chunk = min(100, p.num_boost_round)
+    base_margin = _logit(p.base_score)
+    bins_d = jnp.asarray(Xb)
+    y_d = jnp.asarray(y.astype(np.float32))
+    bins_e_d = jnp.asarray(Xe)
+    y_e_d = jnp.asarray(y_eval_np)
+    m = jnp.full((N,), base_margin, jnp.float32)
+    me = jnp.full((len(X_eval),), base_margin, jnp.float32)
 
-    trees: List[Tuple[np.ndarray, ...]] = []
+    chunks = []
+    err_train_l: List[np.ndarray] = []
+    err_eval_l: List[np.ndarray] = []
+    best_round = 0
     best_err = np.inf
-    best_round = -1
-    history = {"train_auc": [], "eval_auc": [], "train_error": [], "eval_error": []}
-
-    grad_fn = jax.jit(partial(weighted_log_loss_grad_hess, beta=p.beta))
-
-    for rnd in range(p.num_boost_round):
-        g, h = grad_fn(preds, y_d)
-        tree = build_tree_kernel(
-            bins_d, g, h,
-            depth=p.depth, n_features=F,
-            lambda_=p.lambda_, min_child_weight=p.min_child_weight,
+    rounds_done = 0
+    while rounds_done < p.num_boost_round:
+        n_rounds = min(scan_chunk, p.num_boost_round - rounds_done)
+        outs = _boost_scan(
+            bins_d, y_d, bins_e_d, y_e_d, m, me,
+            depth=p.depth, n_rounds=n_rounds, eta=p.eta, beta=p.beta,
+            threshold=p.threshold, lambda_=p.lambda_,
+            min_child_weight=p.min_child_weight, base_margin=base_margin,
         )
-        feat, split_bin, missing_left, value, is_leaf = tree
-        value = value * p.eta
-        preds = preds + predict_tree_binned(
-            bins_d, feat, split_bin, missing_left, value, is_leaf, depth=p.depth
-        )
-        preds_e = preds_e + predict_tree_binned(
-            bins_e, feat, split_bin, missing_left, value, is_leaf, depth=p.depth
-        )
-        trees.append(tuple(np.asarray(a) for a in (feat, split_bin, missing_left, value, is_leaf)))
-
-        pe = np.asarray(preds_e)
-        pt = np.asarray(preds)
-        err_e = custom_error(pe, y_eval_np, p.beta, p.threshold)
-        history["eval_error"].append(err_e)
-        if verbose_every and (rnd % verbose_every == 0 or rnd == p.num_boost_round - 1):
-            err_t = custom_error(pt, np.asarray(y_d), p.beta, p.threshold)
-            auc_t = auc_score(pt, np.asarray(y_d))
-            auc_e = auc_score(pe, y_eval_np)
-            history["train_error"].append(err_t)
-            history["train_auc"].append(auc_t)
-            history["eval_auc"].append(auc_e)
-            LOGGER.info(
-                "[%d] train-auc:%.6f eval-auc:%.6f train-error:%.0f eval-error:%.0f",
-                rnd, auc_t, auc_e, err_t, err_e,
-            )
-        if err_e < best_err:
-            best_err = err_e
-            best_round = rnd
-        if rnd - best_round >= p.early_stopping_rounds:
+        m, me = outs[7], outs[8]
+        chunk_arrays = tuple(np.asarray(o) for o in outs[:5])
+        e_tr, e_ev = np.asarray(outs[5]), np.asarray(outs[6])
+        chunks.append(chunk_arrays)
+        err_train_l.append(e_tr)
+        err_eval_l.append(e_ev)
+        for i, err in enumerate(e_ev):
+            rnd = rounds_done + i
+            if err < best_err:
+                best_err = float(err)
+                best_round = rnd
+        rounds_done += n_rounds
+        if verbose_every:
+            LOGGER.info("[%d] train-error:%.0f eval-error:%.0f (best %d: %.0f)",
+                        rounds_done - 1, e_tr[-1], e_ev[-1], best_round, best_err)
+        if rounds_done - 1 - best_round >= p.early_stopping_rounds:
             LOGGER.info("early stopping at round %d (best %d, eval-error %.0f)",
-                        rnd, best_round, best_err)
+                        rounds_done - 1, best_round, best_err)
             break
 
-    T = len(trees)
+    err_train = np.concatenate(err_train_l)
+    err_eval = np.concatenate(err_eval_l)
+    # truncate with XGBoost stop semantics
+    stop = min(best_round + p.early_stopping_rounds, rounds_done - 1)
+    T = stop + 1
+    feat_a, split_a, ml_a, val_a, leaf_a = (
+        np.concatenate([c[j] for c in chunks])[:T] for j in range(5)
+    )
+
+    pt = 1.0 / (1.0 + np.exp(-np.asarray(m)))
+    pe = 1.0 / (1.0 + np.exp(-np.asarray(me)))
+    history = {
+        "train_error": err_train[:T].tolist(),
+        "eval_error": err_eval[:T].tolist(),
+        "final_train_auc": auc_score(pt, y.astype(np.float32)),
+        "final_eval_auc": auc_score(pe, y_eval_np),
+    }
+    if verbose_every:
+        LOGGER.info(
+            "final(%d rounds run) train-auc:%.6f eval-auc:%.6f | best round %d eval-error %.0f",
+            rounds_done, history["final_train_auc"],
+            history["final_eval_auc"], best_round, best_err,
+        )
+
     n_heap = 2 ** (p.depth + 1) - 1
-    feat_a = np.stack([t[0] for t in trees])
-    split_a = np.stack([t[1] for t in trees])
-    ml_a = np.stack([t[2] for t in trees])
-    val_a = np.stack([t[3] for t in trees])
-    leaf_a = np.stack([t[4] for t in trees])
     # raw-value thresholds: thr = edges[f, k]
     thr_a = np.zeros((T, n_heap), dtype=np.float32)
     for t in range(T):

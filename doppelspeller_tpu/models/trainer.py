@@ -1,0 +1,243 @@
+"""Training pipeline: assemble pairs → features → boosted trees.
+
+Reference flow parity (train.py:85-137 + feature_engineering.py:172-378 +
+feature_engineering_prepare.py:25-57):
+
+* GENERATED pairs: every truth title with a transformed length > 9 is
+  misspelled once → target 1 (feature_engineering.py:207-225);
+* candidate retrieval: top-100 weighted-Jaccard candidates per train row,
+  10 sampled at random (feature_engineering_prepare.py:30,43);
+* NEGATIVE pairs: rows labelled −1 → 10 candidates, target 0;
+* POSITIVE pairs: labelled rows → 10 candidates with the true label forced
+  into the set (replacing the weakest), target = (candidate == label);
+* evaluation split: per-kind random subsets whose sizes are the configured
+  fractions of the *total* row count (reference quirk, feature_engineering.py:276-296);
+* training with the custom weighted objective + custom-error early stopping.
+
+Deviations (documented): candidates for labelled rows are keyed per *row*
+rather than per title_id (the reference dict silently collapses duplicate
+title_ids, feature_engineering_prepare.py:49); all randomness is seeded.
+"""
+
+from __future__ import annotations
+
+import logging
+import random
+from collections import Counter
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from doppelspeller_tpu import constants as c
+from doppelspeller_tpu.config import Config, get_config
+from doppelspeller_tpu.models.gbt import GBTModel, GBTParams, custom_error, train_gbt
+from doppelspeller_tpu.ops.features import construct_features
+from doppelspeller_tpu.ops.jaccard import JaccardScorer
+from doppelspeller_tpu.ops.ngram_index import build_truth_index
+from doppelspeller_tpu.utils import text as T
+from doppelspeller_tpu.utils.io import TitleSet, load_ground_truth, load_train_data
+from doppelspeller_tpu.utils.misspell import generate_misspelled_name
+
+LOGGER = logging.getLogger(__name__)
+
+
+class WordCounts:
+    """Truth-DB word document counts → uint32[*, 15] gathers
+    (reference feature_engineering.py:309-319)."""
+
+    def __init__(self, truth: TitleSet, w_slots: int = 15):
+        self.counter: Counter = T.get_words_counter(truth.words)
+        self.w_slots = w_slots
+
+    def for_title(self, transformed: str) -> np.ndarray:
+        out = np.zeros(self.w_slots, dtype=np.uint32)
+        for k, w in enumerate(transformed.split()[: self.w_slots]):
+            out[k] = self.counter[w]
+        return out
+
+    def for_titles(self, titles: List[str]) -> np.ndarray:
+        return np.stack([self.for_title(t) for t in titles])
+
+
+@dataclass
+class TrainingPairs:
+    kind: np.ndarray          # uint8[M] TRAINING_KIND_*
+    target: np.ndarray        # float32[M]
+    q_titles: List[str]       # transformed query-side titles
+    t_titles: List[str]       # transformed truth-side titles
+
+
+def assemble_training_pairs(
+    train: TitleSet,
+    truth: TitleSet,
+    scorer: JaccardScorer,
+    config: Optional[Config] = None,
+    rng: Optional[random.Random] = None,
+) -> TrainingPairs:
+    cfg = config or get_config()
+    rng = rng or random.Random(cfg.seed)
+
+    id_to_title = {int(i): t for i, t in zip(truth.ids, truth.transformed)}
+
+    kinds: List[int] = []
+    targets: List[float] = []
+    q_titles: List[str] = []
+    t_titles: List[str] = []
+
+    # --- NEGATIVE + POSITIVE: retrieval candidates for every train row ---
+    LOGGER.info("Retrieving top-%d candidates for %d train rows",
+                cfg.top_n_predicting, len(train))
+    _, cand_ids = scorer.topk_title_ids(train, k=cfg.top_n_predicting)
+
+    n_sample = cfg.top_n_training
+    for row in range(len(train)):
+        label = int(train.labels[row])
+        cands = rng.sample(list(cand_ids[row]), n_sample)
+        title = train.transformed[row]
+        if label == cfg.train_not_found_value:
+            for cid in cands:
+                kinds.append(c.TRAINING_KIND_NEGATIVE)
+                targets.append(0.0)
+                q_titles.append(title)
+                t_titles.append(id_to_title[int(cid)])
+        else:
+            if label not in [int(x) for x in cands]:
+                if len(cands) == n_sample:
+                    cands.pop()
+                cands.append(label)
+            for cid in cands:
+                kinds.append(c.TRAINING_KIND_POSITIVE)
+                targets.append(1.0 if int(cid) == label else 0.0)
+                q_titles.append(title)
+                t_titles.append(id_to_title[int(cid)])
+
+    # --- GENERATED: misspell every truth title longer than 9 chars ---
+    LOGGER.info("Generating misspelled training data")
+    for t in truth.transformed:
+        if len(t) > 9:
+            kinds.append(c.TRAINING_KIND_GENERATED)
+            targets.append(1.0)
+            q_titles.append(generate_misspelled_name(t, rng))
+            t_titles.append(t)
+
+    return TrainingPairs(
+        kind=np.asarray(kinds, dtype=np.uint8),
+        target=np.asarray(targets, dtype=np.float32),
+        q_titles=q_titles,
+        t_titles=t_titles,
+    )
+
+
+def evaluation_indexes(
+    kind: np.ndarray, config: Optional[Config] = None, seed: Optional[int] = None
+) -> np.ndarray:
+    """Reference-quirk split: per-kind sample sizes are fractions of the
+    TOTAL row count (feature_engineering.py:276-296), clipped to the kind
+    size (the reference would raise instead)."""
+    cfg = config or get_config()
+    rs = np.random.RandomState(cfg.seed if seed is None else seed)
+    total = len(kind)
+    picks = []
+    for k, frac in (
+        (c.TRAINING_KIND_GENERATED, cfg.evaluation_fraction_generated),
+        (c.TRAINING_KIND_NEGATIVE, cfg.evaluation_fraction_negative),
+        (c.TRAINING_KIND_POSITIVE, cfg.evaluation_fraction_positive),
+    ):
+        cand = np.flatnonzero(kind == k)
+        size = min(int(total * frac), len(cand))
+        if size > 0:
+            picks.append(rs.choice(cand, size=size, replace=False))
+    if not picks:
+        return np.zeros(0, dtype=np.int64)
+    return np.unique(np.concatenate(picks))
+
+
+def build_feature_matrix(
+    pairs: TrainingPairs, word_counts: WordCounts, n_truth: int,
+    config: Optional[Config] = None,
+) -> np.ndarray:
+    cfg = config or get_config()
+    q_enc = T.encode_titles(pairs.q_titles, cfg.max_characters)
+    t_enc = T.encode_titles(pairs.t_titles, cfg.max_characters)
+    q_len = np.array([min(len(t), cfg.max_characters) for t in pairs.q_titles], np.int32)
+    t_len = np.array([min(len(t), cfg.max_characters) for t in pairs.t_titles], np.int32)
+    counts = word_counts.for_titles(pairs.t_titles)
+    LOGGER.info("Constructing features for %d pairs", len(q_len))
+    return construct_features(q_enc, q_len, t_enc, t_len, counts, n_truth, cfg)
+
+
+def error_matrix(pred: np.ndarray, target: np.ndarray, threshold: float):
+    """(TP, TN, FP, FN) at the probability threshold (train.py:63-82)."""
+    pos = pred > threshold
+    tp = int(((target == 1) & pos).sum())
+    tn = int(((target == 0) & ~pos).sum())
+    fp = int(((target == 0) & pos).sum())
+    fn = int(((target == 1) & ~pos).sum())
+    return tp, tn, fp, fn
+
+
+def train_model(
+    config: Optional[Config] = None,
+    train: Optional[TitleSet] = None,
+    truth: Optional[TitleSet] = None,
+    scorer: Optional[JaccardScorer] = None,
+    params: Optional[GBTParams] = None,
+    save: bool = True,
+) -> Tuple[GBTModel, dict]:
+    """End-to-end training (reference train.py:85-137).  Returns the model
+    and a report dict (error matrix, feature importance, history)."""
+    cfg = config or get_config()
+    truth = truth or load_ground_truth(cfg)
+    train = train or load_train_data(cfg)
+    if scorer is None:
+        scorer = JaccardScorer(build_truth_index(truth, cfg), cfg)
+
+    rng = random.Random(cfg.seed)
+    pairs = assemble_training_pairs(train, truth, scorer, cfg, rng)
+    LOGGER.info(
+        "Assembled %d pairs (generated %d / negative %d / positive %d)",
+        len(pairs.kind),
+        int((pairs.kind == c.TRAINING_KIND_GENERATED).sum()),
+        int((pairs.kind == c.TRAINING_KIND_NEGATIVE).sum()),
+        int((pairs.kind == c.TRAINING_KIND_POSITIVE).sum()),
+    )
+
+    word_counts = WordCounts(truth)
+    X = build_feature_matrix(pairs, word_counts, len(truth), cfg)
+    y = pairs.target
+
+    eval_idx = evaluation_indexes(pairs.kind, cfg)
+    train_mask = np.ones(len(y), dtype=bool)
+    train_mask[eval_idx] = False
+    X_train, y_train = X[train_mask], y[train_mask]
+    X_eval, y_eval = X[eval_idx], y[eval_idx]
+    LOGGER.info("Train %d rows / eval %d rows", len(y_train), len(y_eval))
+
+    params = params or GBTParams.from_config(cfg)
+    model = train_gbt(X_train, y_train, X_eval, y_eval, params)
+
+    pred_eval = model.predict(X_eval)
+    tp, tn, fp, fn = error_matrix(pred_eval, y_eval, cfg.prediction_probability_threshold)
+    LOGGER.info(
+        "\n\nEvaluation Data Error Matrix:\n"
+        "    True Positives     %d\n"
+        "    True Negatives     %d\n"
+        "    False Positives    %d\n"
+        "    False Negatives    %d\n",
+        tp, tn, fp, fn,
+    )
+    report = {
+        "error_matrix": {"tp": tp, "tn": tn, "fp": fp, "fn": fn},
+        "eval_custom_error": custom_error(
+            pred_eval, y_eval, cfg.false_positive_penalty_factor,
+            cfg.prediction_probability_threshold,
+        ),
+        "feature_importance": model.feature_importance(),
+        "history": model.history,
+        "n_pairs": len(y),
+    }
+    if save:
+        model.save(cfg.model_path)
+        LOGGER.info("Model saved to %s", cfg.model_path)
+    return model, report

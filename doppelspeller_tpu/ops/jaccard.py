@@ -43,28 +43,28 @@ def unpack_bits(packed: jnp.ndarray) -> jnp.ndarray:
     return bits.reshape(packed.shape[0], -1)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("k", "title_block", "score_dtype"),
-)
-def jaccard_topk_kernel(
-    packed: jnp.ndarray,      # uint8[V, ntp//8] device-resident truth bits
-    sums: jnp.ndarray,        # float32[ntp] per-title IDF sums
-    union_ids: jnp.ndarray,   # int32[U] trigram rows to gather
-    weights: jnp.ndarray,     # float32[QB, U] query IDF weights
-    maxint: jnp.ndarray,      # float32[QB] per-query union-IDF upper bound
-    nt: jnp.ndarray,          # int32 scalar: number of real titles
+def topk_over_blocks(
+    rows: jnp.ndarray,        # uint8[U, ntp_local//8] gathered trigram rows
+    sums: jnp.ndarray,        # float32[ntp_local] per-title IDF sums
+    weights: jnp.ndarray,     # float32[QB, U]
+    maxint: jnp.ndarray,      # float32[QB]
+    global_offset,            # int32: global title position of column 0
+    nt,                       # int32: number of real titles globally
     *,
     k: int,
     title_block: int,
     score_dtype: str = "float32",
+    vary_axis: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (top-k jaccard scores float32[QB, k], title positions int32[QB, k])."""
+    """Core scorer: scan title blocks, fuse matmul + jaccard + running top-k.
+
+    Shared by the single-device kernel and the shard_map per-device path
+    (where ``global_offset`` = shard_index · local_titles and ``vary_axis``
+    names the mesh axis the carry varies over)."""
     dtype = jnp.dtype(score_dtype)
     # With float32 inputs force true-f32 MXU passes; the fast path is
     # score_dtype="bfloat16" where DEFAULT precision is already bf16.
     precision = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
-    rows = packed[union_ids]                       # (U, ntp//8) row gather
     ntp = rows.shape[1] * 8
     nblocks = ntp // title_block
     w = weights.astype(dtype)
@@ -83,10 +83,13 @@ def jaccard_topk_kernel(
         sums_blk = jax.lax.dynamic_slice_in_dim(sums, blk * title_block, title_block)
         denom = sums_blk[None, :] + maxint[:, None] - scores
         jacc = scores / jnp.maximum(denom, 1e-9)
-        tpos = blk * title_block + jax.lax.broadcasted_iota(jnp.int32, (1, title_block), 1)
+        tpos = (
+            global_offset + blk * title_block
+            + jax.lax.broadcasted_iota(jnp.int32, (1, title_block), 1)
+        )
         jacc = jnp.where(tpos < nt, jacc, -1.0)
         v, i = jax.lax.top_k(jacc, k)              # (QB, k)
-        gi = blk * title_block + i
+        gi = (global_offset + blk * title_block + i).astype(jnp.int32)
         vals = jnp.concatenate([vals_c, v], axis=1)
         idxs = jnp.concatenate([idx_c, gi], axis=1)
         v2, sel = jax.lax.top_k(vals, k)
@@ -97,8 +100,35 @@ def jaccard_topk_kernel(
         jnp.full((qb, k), -jnp.inf, dtype=jnp.float32),
         jnp.zeros((qb, k), dtype=jnp.int32),
     )
+    if vary_axis is not None:
+        # inside shard_map the carry varies over the mesh axis — mark it so
+        init = jax.tree.map(lambda x: jax.lax.pvary(x, (vary_axis,)), init)
     (vals, idxs), _ = jax.lax.scan(body, init, jnp.arange(nblocks))
     return vals, idxs
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "title_block", "score_dtype"),
+)
+def jaccard_topk_kernel(
+    packed: jnp.ndarray,      # uint8[V, ntp//8] device-resident truth bits
+    sums: jnp.ndarray,        # float32[ntp] per-title IDF sums
+    union_ids: jnp.ndarray,   # int32[U] trigram rows to gather
+    weights: jnp.ndarray,     # float32[QB, U] query IDF weights
+    maxint: jnp.ndarray,      # float32[QB] per-query union-IDF upper bound
+    nt: jnp.ndarray,          # int32 scalar: number of real titles
+    *,
+    k: int,
+    title_block: int,
+    score_dtype: str = "float32",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (top-k jaccard scores float32[QB, k], title positions int32[QB, k])."""
+    rows = packed[union_ids]                       # (U, ntp//8) row gather
+    return topk_over_blocks(
+        rows, sums, weights, maxint, jnp.int32(0), nt,
+        k=k, title_block=title_block, score_dtype=score_dtype,
+    )
 
 
 @partial(jax.jit, static_argnames=("title_block", "score_dtype"))
@@ -172,8 +202,11 @@ class JaccardScorer:
             rows_all = np.asarray(rows)
         for j, r in enumerate(rows_all):
             row_of[int(r)] = j
+        # dispatch every block first (async), fetch afterwards — the device
+        # streams through blocks while the host prepares/fetches others
+        pending = []
         for plan in plans:
-            vals, idxs = jaccard_topk_kernel(
+            outs = jaccard_topk_kernel(
                 self.packed_d,
                 self.sums_d,
                 jnp.asarray(plan.union_ids),
@@ -184,6 +217,8 @@ class JaccardScorer:
                 title_block=self.cfg.title_block,
                 score_dtype=self.score_dtype,
             )
+            pending.append((plan, outs))
+        for plan, (vals, idxs) in pending:
             vals = np.asarray(vals[: plan.n_valid])
             idxs = np.asarray(idxs[: plan.n_valid])
             for slot, qrow in enumerate(plan.query_rows):

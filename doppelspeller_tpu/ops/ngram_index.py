@@ -156,63 +156,67 @@ def plan_query_blocks(
     config: Optional[Config] = None,
     rows: Optional[np.ndarray] = None,
 ) -> List[QueryBlockPlan]:
-    """Greedy host-side planner: pack queries into fixed-shape blocks.
+    """Fully-vectorized host planner: pack queries into fixed-shape blocks.
 
-    Each block holds up to ``cfg.query_block`` queries and at most
-    ``cfg.query_block * 32`` union trigram slots (static shape).  A query's
-    *scoring* trigrams are exact — blocks are closed early rather than
+    Blocks hold ``cfg.query_block`` queries with a trigram-id union of at
+    most ``cfg.query_block * 32`` slots (static shapes — one XLA program).
+    A block whose union overflows is split in half recursively, never
     dropping trigrams.  The max-intersection term uses the IDF-or-max-IDF
-    fallback of reference match_maker.py:151,197.
+    fallback of reference match_maker.py:151,197; scoring weights use real
+    IDF only (unobserved query trigrams contribute 0 to the numerator,
+    exactly like the reference scatter over truth rows, match_maker.py:46-48).
     """
     cfg = config or get_config()
     if rows is None:
         rows = np.arange(len(queries), dtype=np.int64)
+    rows = np.asarray(rows, dtype=np.int64)
+    if len(rows) == 0:
+        return []
 
-    union_cap = cfg.query_block * 32
+    qb = cfg.query_block
+    union_cap = qb * 32
+    BIG = T.BIG_TRIGRAM
 
-    # Precompute per-query trigram ids + weights (host)
-    q_grams: List[np.ndarray] = []
-    q_maxint = np.zeros(len(rows), dtype=np.float32)
-    for j, r in enumerate(rows):
-        g = T.trigram_ids_from_codes(queries.encoded[r], int(queries.lengths[r]))
-        q_grams.append(g)
-        w = np.where(index.idf[g] > 0.0, index.idf[g], np.float32(index.max_idf))
-        q_maxint[j] = w.sum(dtype=np.float64)
+    ids_all = T.trigram_ids_matrix(queries.encoded[rows], queries.lengths[rows])
+    valid_all = ids_all != BIG
+    idf_g = index.idf[np.clip(ids_all, 0, index.idf.shape[0] - 1)]
+    w_fb = np.where(idf_g > 0.0, idf_g, np.float32(index.max_idf))
+    maxint_all = (w_fb * valid_all).sum(axis=1, dtype=np.float64).astype(np.float32)
 
     plans: List[QueryBlockPlan] = []
-    i = 0
-    n = len(rows)
-    while i < n:
-        block_rows: List[int] = []
-        union: np.ndarray = np.zeros(0, dtype=np.int32)
-        j = i
-        while j < n and len(block_rows) < cfg.query_block:
-            candidate = np.union1d(union, q_grams[j])
-            if len(candidate) > union_cap and block_rows:
-                break
-            union = candidate
-            block_rows.append(j)
-            j += 1
-        qb = cfg.query_block
+
+    def emit(sel: np.ndarray) -> None:
+        """Build one plan from query indices ``sel`` (into rows/ids_all),
+        splitting recursively if the union overflows."""
+        blk_ids = ids_all[sel]
+        union = np.unique(blk_ids)
+        union = union[union != BIG]
+        if len(union) > union_cap:
+            mid = max(len(sel) // 2, 1)
+            emit(sel[:mid])
+            emit(sel[mid:])
+            return
+        m = len(sel)
         union_ids = np.zeros(union_cap, dtype=np.int32)
         union_ids[: len(union)] = union
-        weights = np.zeros((qb, union_cap), dtype=np.float32)
+        pos = np.searchsorted(union, blk_ids)           # (m, L-2)
+        v = valid_all[sel]
+        pos = np.where(v, pos, union_cap)               # dump column
+        weights = np.zeros((qb, union_cap + 1), dtype=np.float32)
+        rq = np.broadcast_to(np.arange(m)[:, None], pos.shape)
+        weights[rq, pos] = idf_g[sel] * v
         maxint = np.zeros(qb, dtype=np.float32)
-        for slot, qj in enumerate(block_rows):
-            pos = np.searchsorted(union, q_grams[qj])
-            # scoring uses real IDF only — trigrams absent from the truth DB
-            # have idf 0 and contribute nothing to the numerator, exactly as
-            # the reference scatter-add over truth rows (match_maker.py:46-48)
-            weights[slot, pos] = index.idf[q_grams[qj]]
-            maxint[slot] = q_maxint[qj]
+        maxint[:m] = maxint_all[sel]
         plans.append(
             QueryBlockPlan(
-                query_rows=rows[np.asarray(block_rows, dtype=np.int64)],
+                query_rows=rows[sel],
                 union_ids=union_ids,
-                weights=weights,
+                weights=weights[:, :union_cap],
                 max_intersection=maxint,
-                n_valid=len(block_rows),
+                n_valid=m,
             )
         )
-        i = j
+
+    for start in range(0, len(rows), qb):
+        emit(np.arange(start, min(start + qb, len(rows)), dtype=np.int64))
     return plans

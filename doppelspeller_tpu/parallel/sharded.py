@@ -1,0 +1,202 @@
+"""Multi-chip execution: sharded truth index + data-parallel GBT training.
+
+New capabilities with no reference equivalent (the reference is single-node
+numba threading; its README frames distribution as future work, README.md:79-80).
+TPU-native design per SURVEY.md §2.4:
+
+* **Sharded retrieval**: the bit-packed truth matrix is sharded over the
+  *title* axis across a ``jax.sharding.Mesh``.  Every device scores its
+  local shard (same MXU kernel as single-chip), computes a local top-k, and
+  the (score, global-position) pairs are merged with one ICI all-gather —
+  k·n_devices candidates reduced back to k on every device.
+* **Data-parallel GBT**: samples are sharded over the batch axis; each
+  device histograms its shard and the (node, feature, bin) G/H histograms
+  are psum-ed over ICI inside the tree builder, so all devices grow the
+  identical tree (distributed XGBoost-style histogram aggregation).
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:
+    from jax import shard_map  # jax >= 0.8
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+from doppelspeller_tpu.config import Config, get_config
+from doppelspeller_tpu.models.gbt import (
+    build_tree_kernel,
+    margin_grad_hess,
+    predict_tree_binned,
+)
+from doppelspeller_tpu.ops.jaccard import topk_over_blocks
+from doppelspeller_tpu.ops.ngram_index import TruthIndex
+
+LOGGER = logging.getLogger(__name__)
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "titles",
+              platform: Optional[str] = None) -> Mesh:
+    """A 1-D device mesh.  ``platform='cpu'`` selects the virtual CPU
+    devices (``--xla_force_host_platform_device_count``) even when a TPU
+    backend is also registered."""
+    devices = jax.devices(platform) if platform else jax.devices()
+    n = n_devices or len(devices)
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    return Mesh(np.array(devices[:n]), (axis,))
+
+
+# ------------------------------------------------------------ sharded index
+
+class ShardedJaccardScorer:
+    """Retrieval over a truth index sharded across a mesh's title axis."""
+
+    def __init__(self, index: TruthIndex, mesh: Mesh, config: Optional[Config] = None):
+        self.cfg = config or get_config()
+        self.index = index
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        n_dev = mesh.devices.size
+        ntp = index.padded_titles
+        # pad the title axis to a multiple of (devices * title_block)
+        chunk = n_dev * self.cfg.title_block
+        ntp_pad = ((ntp + chunk - 1) // chunk) * chunk
+        packed = index.packed
+        sums = index.sums
+        if ntp_pad != ntp:
+            packed = np.concatenate(
+                [packed, np.zeros((packed.shape[0], (ntp_pad - ntp) // 8), np.uint8)],
+                axis=1,
+            )
+            sums = np.concatenate([sums, np.zeros(ntp_pad - ntp, np.float32)])
+        self.ntp = ntp_pad
+        self.packed_d = jax.device_put(
+            packed, NamedSharding(mesh, P(None, self.axis))
+        )
+        self.sums_d = jax.device_put(sums, NamedSharding(mesh, P(self.axis)))
+        self.nt = jnp.int32(index.num_titles)
+
+        axis = self.axis
+        title_block = self.cfg.title_block
+        score_dtype = getattr(self.cfg, "score_dtype", "float32")
+
+        def _sharded(packed_l, sums_l, union_ids, weights, maxint, nt, *, k):
+            idx = jax.lax.axis_index(axis)
+            ntp_local = packed_l.shape[1] * 8
+            rows = packed_l[union_ids]
+            vals, pos = topk_over_blocks(
+                rows, sums_l, weights, maxint,
+                idx.astype(jnp.int32) * ntp_local, nt,
+                k=k, title_block=title_block, score_dtype=score_dtype,
+                vary_axis=axis,
+            )
+            # merge across shards: one ICI all-gather of (k) candidates each
+            all_vals = jax.lax.all_gather(vals, axis)       # (D, QB, k)
+            all_pos = jax.lax.all_gather(pos, axis)
+            D = all_vals.shape[0]
+            qb = vals.shape[0]
+            flat_v = jnp.transpose(all_vals, (1, 0, 2)).reshape(qb, D * k)
+            flat_p = jnp.transpose(all_pos, (1, 0, 2)).reshape(qb, D * k)
+            mv, sel = jax.lax.top_k(flat_v, k)
+            mp = jnp.take_along_axis(flat_p, sel, axis=1)
+            return mv, mp
+
+        self._sharded = _sharded
+
+    def topk_kernel(self, union_ids, weights, maxint, k: int):
+        axis = self.axis
+        # after the all-gather + merge the outputs are replicated, but the
+        # checker cannot statically infer that — disable the check
+        fn = shard_map(
+            partial(self._sharded, k=k),
+            mesh=self.mesh,
+            in_specs=(P(None, axis), P(axis), P(), P(), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(fn)(
+            self.packed_d, self.sums_d, union_ids, weights, maxint, self.nt
+        )
+
+    def topk(self, queries, k: Optional[int] = None, rows=None):
+        """Same contract as JaccardScorer.topk, over the sharded index."""
+        from doppelspeller_tpu.ops.ngram_index import plan_query_blocks
+
+        k = k or self.cfg.top_n_predicting
+        plans = plan_query_blocks(queries, self.index, self.cfg, rows=rows)
+        rows_all = np.arange(len(queries)) if rows is None else np.asarray(rows)
+        row_of = {int(r): j for j, r in enumerate(rows_all)}
+        out_scores = np.zeros((len(rows_all), k), np.float32)
+        out_pos = np.zeros((len(rows_all), k), np.int32)
+        pending = []
+        for plan in plans:
+            outs = self.topk_kernel(
+                jnp.asarray(plan.union_ids),
+                jnp.asarray(plan.weights),
+                jnp.asarray(plan.max_intersection),
+                k,
+            )
+            pending.append((plan, outs))
+        for plan, (vals, idxs) in pending:
+            vals = np.asarray(vals[: plan.n_valid])
+            idxs = np.asarray(idxs[: plan.n_valid])
+            for slot, qrow in enumerate(plan.query_rows):
+                j = row_of[int(qrow)]
+                out_scores[j] = vals[slot]
+                out_pos[j] = idxs[slot]
+        return out_scores, out_pos
+
+
+# ------------------------------------------------------- data-parallel GBT
+
+def dp_boost_round(
+    mesh: Mesh,
+    bins_sharded: jnp.ndarray,   # uint8[N, F] sharded over rows
+    y_sharded: jnp.ndarray,      # float32[N] sharded over rows
+    margins_sharded: jnp.ndarray,
+    *,
+    depth: int,
+    eta: float,
+    beta: float,
+    lambda_: float = 1.0,
+    min_child_weight: float = 1.0,
+    axis: Optional[str] = None,
+):
+    """One data-parallel boosting round under shard_map.
+
+    Returns (new margins [sharded like inputs], tree arrays [replicated]).
+    Histograms are psum-ed inside build_tree_kernel; every device grows the
+    identical tree and routes only its local samples.
+    """
+    axis = axis or mesh.axis_names[0]
+
+    def step(bins_l, y_l, m_l):
+        g, h = margin_grad_hess(m_l, y_l, beta)
+        feat, split_bin, missing_left, value, is_leaf = build_tree_kernel(
+            bins_l, g, h,
+            depth=depth, n_features=bins_l.shape[1],
+            lambda_=lambda_, min_child_weight=min_child_weight,
+            axis_name=axis,
+        )
+        value = value * eta
+        m_l = m_l + predict_tree_binned(
+            bins_l, feat, split_bin, missing_left, value, is_leaf, depth=depth
+        )
+        return m_l, (feat, split_bin, missing_left, value, is_leaf)
+
+    fn = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), (P(), P(), P(), P(), P())),
+    )
+    return jax.jit(fn)(bins_sharded, y_sharded, margins_sharded)

@@ -1,0 +1,328 @@
+"""The prediction cascade: exact → Jaccard top-n → fuzzy Levenshtein → model.
+
+Reference parity: predict.py:17-321.  Stage semantics:
+
+1. **Exact** (predict.py:97-113): transformed-title hash lookup (on duplicate
+   truth titles the last title_id wins, as with the reference's dict
+   reversal, predict.py:75), prediction = 1.0.
+2. **Fuzzy** (predict.py:140-183): for each remaining query, its top-100
+   weighted-Jaccard candidates are filtered by the length-delta "deletion
+   ratio" (≥ threshold), scored with the rounded Levenshtein ratio, falling
+   back to the token-sort ratio when ≤ threshold; matches with ratio >
+   threshold are grouped per query, max taken, and queries with tied
+   distinct max rows are dropped to the next stage.
+3. **Model** (predict.py:185-254): all 100 candidates of still-unmatched
+   queries are scored by the GBT reranker over the 66-dim features;
+   per-query argmax kept if prediction > 0.9 (unless single-title mode,
+   which returns the argmax unconditionally, predict.py:239-242).
+
+Everything is batched: no 10k-row chunk loop (the reference's chunking,
+predict.py:294-314, is a memory workaround with no semantic effect), no
+per-row candidate loops.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from doppelspeller_tpu.config import Config, get_config
+from doppelspeller_tpu.models.gbt import GBTModel
+from doppelspeller_tpu.models.trainer import WordCounts
+from doppelspeller_tpu.ops.features import construct_features
+from doppelspeller_tpu.ops.jaccard import JaccardScorer
+from doppelspeller_tpu.ops.levenshtein import ratio_rounded
+from doppelspeller_tpu.ops.ngram_index import TruthIndex, build_truth_index
+from doppelspeller_tpu.utils import text as T
+from doppelspeller_tpu.utils.io import TitleSet, load_ground_truth
+
+LOGGER = logging.getLogger(__name__)
+
+STAGE_NONE = 0
+STAGE_EXACT = 1
+STAGE_FUZZY = 2
+STAGE_MODEL = 3
+
+
+@dataclass
+class PredictionResult:
+    test_index: np.ndarray        # int64[N]
+    match_title_id: np.ndarray    # int64[N]  (−1 = not found)
+    prediction: np.ndarray        # float32[N]
+    stage: np.ndarray             # uint8[N]  (STAGE_*)
+    transformed: List[str]
+    match_transformed: List[Optional[str]]
+    stage_counts: Dict[str, int] = field(default_factory=dict)
+
+    def to_output_frame(self):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {"title_id": self.match_title_id, "test_index": self.test_index}
+        ).sort_values("test_index")
+
+    def save_csv(self, path: str, delimiter: str = "|") -> None:
+        self.to_output_frame().to_csv(path, index=False, sep=delimiter)
+
+    def single_result(self) -> dict:
+        """Reference single-title dict (predict.py:35-41,316-317)."""
+        return {
+            "test_index": int(self.test_index[0]),
+            "transformed_title": self.transformed[0],
+            "match_transformed_title": self.match_transformed[0],
+            "match_title_id": int(self.match_title_id[0]),
+            "prediction": float(self.prediction[0]),
+        }
+
+
+def _groupby_max_unique(q_idx: np.ndarray, values: np.ndarray, n_queries: int):
+    """For rows (q_idx, value): per-query max and whether it is achieved by
+    exactly one row.  Returns (max_val[nq], best_row[nq], unique[nq])."""
+    max_val = np.full(n_queries, -np.inf, dtype=np.float64)
+    np.maximum.at(max_val, q_idx, values.astype(np.float64))
+    is_max = values.astype(np.float64) == max_val[q_idx]
+    count_max = np.zeros(n_queries, dtype=np.int64)
+    np.add.at(count_max, q_idx[is_max], 1)
+    best_row = np.full(n_queries, -1, dtype=np.int64)
+    rows = np.flatnonzero(is_max)
+    best_row[q_idx[rows][::-1]] = rows[::-1]  # keep FIRST max row
+    return max_val, best_row, count_max == 1
+
+
+class Matcher:
+    """End-to-end matcher over a truth database (reference Prediction class)."""
+
+    def __init__(
+        self,
+        config: Optional[Config] = None,
+        truth: Optional[TitleSet] = None,
+        index: Optional[TruthIndex] = None,
+        model: Optional[GBTModel] = None,
+    ):
+        self.cfg = config or get_config()
+        self.truth = truth or load_ground_truth(self.cfg)
+        self.index = index or build_truth_index(self.truth, self.cfg)
+        self.scorer = JaccardScorer(self.index, self.cfg)
+        self.model = model
+        self.word_counts = WordCounts(self.truth)
+        # exact-match hash: duplicate transformed titles → last id wins
+        self.reverse: Dict[str, int] = {
+            t: int(i) for t, i in zip(self.truth.transformed, self.truth.ids)
+        }
+        self._token_sorted_truth: Optional[List[str]] = None
+
+    def _load_model(self) -> GBTModel:
+        if self.model is None:
+            self.model = GBTModel.load(self.cfg.model_path)
+        return self.model
+
+    def _token_sort(self, title: str) -> str:
+        return " ".join(sorted(title.split()))
+
+    # ------------------------------------------------------------- stages
+
+    def _stage_exact(self, queries: TitleSet, res: PredictionResult) -> None:
+        hits = 0
+        for i, t in enumerate(queries.transformed):
+            tid = self.reverse.get(t)
+            if tid is not None:
+                res.match_title_id[i] = tid
+                res.prediction[i] = 1.0
+                res.stage[i] = STAGE_EXACT
+                res.match_transformed[i] = t
+                hits += 1
+        res.stage_counts["exact"] = hits
+        LOGGER.info("Matched %d titles so far (exact)", hits)
+
+    def _stage_fuzzy(
+        self, queries: TitleSet, rem: np.ndarray, cand_pos: np.ndarray,
+        res: PredictionResult,
+    ) -> None:
+        cfg = self.cfg
+        R, K = cand_pos.shape
+        thr = cfg.levenshtein_ratio_threshold
+        q_len = queries.lengths[rem].astype(np.int64)
+        t_len = self.truth.lengths[cand_pos.reshape(-1)].reshape(R, K).astype(np.int64)
+
+        tot = q_len[:, None] + t_len
+        delta = np.abs(q_len[:, None] - t_len)
+        del_ratio = (tot - delta) / np.maximum(tot, 1) * 100.0
+        consider = del_ratio >= thr                       # predict.py:150
+
+        ratio = np.zeros((R, K), dtype=np.int32)
+        rows, cols = np.nonzero(consider)
+        if len(rows):
+            q_enc = queries.encoded[rem[rows]]
+            t_enc = self.truth.encoded[cand_pos[rows, cols]]
+            ratio[rows, cols] = ratio_rounded(
+                q_enc, q_len[rows], t_enc, t_len[rows, cols], cfg
+            )
+            # token-sort fallback for considered pairs with ratio <= threshold
+            fb = ratio[rows, cols] <= thr
+            if fb.any():
+                fr, fc = rows[fb], cols[fb]
+                q_ts = [self._token_sort(queries.transformed[r]) for r in rem[fr]]
+                t_ts = [
+                    self._token_sort(self.truth.transformed[p])
+                    for p in cand_pos[fr, fc]
+                ]
+                q_ts_enc = T.encode_titles(q_ts, cfg.max_characters)
+                t_ts_enc = T.encode_titles(t_ts, cfg.max_characters)
+                ratio[fr, fc] = ratio_rounded(
+                    q_ts_enc,
+                    np.array([len(s) for s in q_ts], np.int32),
+                    t_ts_enc,
+                    np.array([len(s) for s in t_ts], np.int32),
+                    cfg,
+                )
+
+        keep = ratio > thr                                # predict.py:172
+        kr, kc = np.nonzero(keep)
+        hits = 0
+        if len(kr):
+            max_val, best_row, unique = _groupby_max_unique(
+                kr, ratio[kr, kc].astype(np.float64), R
+            )
+            # queries with tied max on distinct rows are dropped to stage 3
+            for r in np.flatnonzero((best_row >= 0) & unique):
+                row_global = best_row[r]
+                col = kc[row_global]
+                qi = rem[r]
+                pos = cand_pos[r, col]
+                res.match_title_id[qi] = int(self.index.title_ids[pos])
+                res.prediction[qi] = 1.0
+                res.stage[qi] = STAGE_FUZZY
+                res.match_transformed[qi] = self.truth.transformed[pos]
+                hits += 1
+        res.stage_counts["fuzzy"] = hits
+        LOGGER.info("Matched %d titles so far (fuzzy)", hits)
+
+    def _stage_model(
+        self, queries: TitleSet, rem: np.ndarray, cand_pos: np.ndarray,
+        res: PredictionResult, single: bool,
+    ) -> None:
+        cfg = self.cfg
+        model = self._load_model()
+        R, K = cand_pos.shape
+        if R == 0:
+            res.stage_counts["model"] = 0
+            return
+        flat_pos = cand_pos.reshape(-1)
+        q_rows = np.repeat(rem, K)
+        q_enc = queries.encoded[q_rows]
+        q_len = queries.lengths[q_rows]
+        t_enc = self.truth.encoded[flat_pos]
+        t_len = self.truth.lengths[flat_pos]
+        counts = self.word_counts.for_titles(
+            [self.truth.transformed[p] for p in flat_pos]
+        )
+        X = construct_features(q_enc, q_len, t_enc, t_len, counts, len(self.truth), cfg)
+        pred = model.predict(X)
+        q_idx = np.repeat(np.arange(R), K)
+
+        hits = 0
+        if single:
+            best = int(np.argmax(pred))
+            qi = rem[q_idx[best]]
+            pos = flat_pos[best]
+            res.match_title_id[qi] = int(self.index.title_ids[pos])
+            res.prediction[qi] = float(pred[best])
+            res.stage[qi] = STAGE_MODEL
+            res.match_transformed[qi] = self.truth.transformed[pos]
+            hits = 1
+        else:
+            max_val, best_row, unique = _groupby_max_unique(q_idx, pred, R)
+            for r in np.flatnonzero(best_row >= 0):
+                if not unique[r]:
+                    continue
+                row = best_row[r]
+                if pred[row] <= cfg.prediction_probability_threshold:
+                    continue
+                qi = rem[r]
+                pos = flat_pos[row]
+                res.match_title_id[qi] = int(self.index.title_ids[pos])
+                res.prediction[qi] = float(pred[row])
+                res.stage[qi] = STAGE_MODEL
+                res.match_transformed[qi] = self.truth.transformed[pos]
+                hits += 1
+        res.stage_counts["model"] = hits
+        LOGGER.info("Matched %d titles (model stage)", hits)
+
+    # -------------------------------------------------------------- entry
+
+    def predict(self, queries: TitleSet, single: bool = False) -> PredictionResult:
+        cfg = self.cfg
+        if single and len(queries) != 1:
+            raise ValueError("single prediction requires exactly one query")
+        n = len(queries)
+        res = PredictionResult(
+            test_index=queries.ids.copy(),
+            match_title_id=np.full(n, cfg.train_not_found_value, dtype=np.int64),
+            prediction=np.zeros(n, dtype=np.float32),
+            stage=np.zeros(n, dtype=np.uint8),
+            transformed=list(queries.transformed),
+            match_transformed=[None] * n,
+        )
+
+        self._stage_exact(queries, res)
+
+        rem = np.flatnonzero(res.stage == STAGE_NONE)
+        if len(rem):
+            _, cand_pos = self.scorer.topk(queries, k=cfg.top_n_predicting, rows=rem)
+            self._stage_fuzzy(queries, rem, cand_pos, res)
+            still = res.stage[rem] == STAGE_NONE
+            rem2 = rem[still]
+            if len(rem2) and (not single or res.stage[0] == STAGE_NONE):
+                self._stage_model(queries, rem2, cand_pos[still], res, single)
+
+        LOGGER.info(
+            "Matched %d/%d titles (exact %d, fuzzy %d, model %d)",
+            int((res.stage != STAGE_NONE).sum()), n,
+            res.stage_counts.get("exact", 0),
+            res.stage_counts.get("fuzzy", 0),
+            res.stage_counts.get("model", 0),
+        )
+        return res
+
+
+def accuracy_report(actuals_path: str, output_path: str, delimiter: str = "|") -> dict:
+    """Scoring harness (reference cli.py:86-132)."""
+    import pandas as pd
+
+    actual = pd.read_csv(actuals_path, sep=delimiter).set_index("test_index")
+    predictions = pd.read_csv(output_path, sep=delimiter).set_index("test_index")
+    actual_map = actual["company_id"].to_dict()
+    pred_map = predictions["title_id"].to_dict()
+
+    cm_e = cm_ne = im_e = im_ne = 0
+    for key, actual_value in actual_map.items():
+        p = pred_map[key]
+        if p == -1:
+            if actual_value == p:
+                cm_ne += 1
+            else:
+                im_ne += 1
+        else:
+            if actual_value == p:
+                cm_e += 1
+            else:
+                im_e += 1
+    report = {
+        "correctly_matched": cm_e,
+        "incorrectly_matched": im_e,
+        "correctly_not_found": cm_ne,
+        "incorrectly_not_found": im_ne,
+        "custom_error": im_ne + im_e * 5,
+    }
+    LOGGER.info(
+        "\n\n    Correctly matched titles            %(correctly_matched)d\n"
+        "    Incorrectly matched titles          %(incorrectly_matched)d\n"
+        "    Correctly marked as not-found       %(correctly_not_found)d\n"
+        "    Incorrectly marked as not-found     %(incorrectly_not_found)d\n\n"
+        "    Custom Error                        %(custom_error)d\n",
+        report,
+    )
+    return report

@@ -137,25 +137,31 @@ def trigram_ids_from_codes(codes: np.ndarray, length: int) -> np.ndarray:
     return np.unique(ids.astype(np.int32))
 
 
-def trigram_ids_batch(encoded: np.ndarray, lengths: np.ndarray, max_trigrams: int):
-    """Per-title unique trigram ids, padded to ``max_trigrams``.
+BIG_TRIGRAM = np.int32(1 << 30)  # sorts after every real trigram id
 
-    Returns (ids[B, max_trigrams] int32 padded with -1, counts[B] int32,
-    overflow[B] bool).  Titles with more unique trigrams than
-    ``max_trigrams`` keep the first ``max_trigrams`` (sorted) and set the
-    overflow flag.
+
+def trigram_ids_matrix(encoded: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Vectorized per-title unique trigram ids.
+
+    Returns int32[B, L-2] sorted ascending per row, with invalid/duplicate
+    slots set to BIG_TRIGRAM.  No Python-level per-row loops.
     """
-    B = encoded.shape[0]
-    ids = np.full((B, max_trigrams), -1, dtype=np.int32)
-    counts = np.zeros(B, dtype=np.int32)
-    total_counts = np.zeros(B, dtype=np.int32)
-    for i in range(B):
-        g = trigram_ids_from_codes(encoded[i], int(lengths[i]))
-        total_counts[i] = len(g)
-        k = min(len(g), max_trigrams)
-        ids[i, :k] = g[:k]
-        counts[i] = k
-    return ids, counts, total_counts
+    B, L = encoded.shape
+    text = _FEATURE_TO_TEXT[encoded]                       # (B, L) −1 for pads
+    ids = (
+        text[:, :-2] * (N_TEXT_CHARS * N_TEXT_CHARS)
+        + text[:, 1:-1] * N_TEXT_CHARS
+        + text[:, 2:]
+    ).astype(np.int64)
+    pos = np.arange(L - 2, dtype=np.int32)[None, :]
+    valid = pos <= (lengths[:, None] - 3)
+    ids = np.where(valid, ids, np.int64(BIG_TRIGRAM))
+    ids.sort(axis=1)
+    dup = np.zeros_like(ids, dtype=bool)
+    dup[:, 1:] = ids[:, 1:] == ids[:, :-1]
+    ids = np.where(dup, np.int64(BIG_TRIGRAM), ids)
+    ids.sort(axis=1)
+    return ids.astype(np.int32)
 
 
 def trigram_df_table(encoded: np.ndarray, lengths: np.ndarray) -> np.ndarray:

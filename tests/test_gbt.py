@@ -97,7 +97,8 @@ def test_predict_raw_matches_binned_semantics():
     from doppelspeller_tpu.models.gbt import predict_tree_binned
 
     Xb = bin_features(Xe, model.edges)
-    total = np.full(len(Xe), model.base_score, np.float32)
+    base_margin = np.log(model.base_score / (1 - model.base_score))
+    total = np.full(len(Xe), base_margin, np.float32)
     nt = model.best_ntree_limit
     for t in range(nt):
         total += np.asarray(
@@ -112,7 +113,8 @@ def test_predict_raw_matches_binned_semantics():
             )
         )
     raw = model.predict(Xe)
-    np.testing.assert_allclose(raw, total, rtol=1e-5, atol=1e-6)
+    prob = 1.0 / (1.0 + np.exp(-total))
+    np.testing.assert_allclose(raw, prob, rtol=1e-5, atol=1e-6)
 
 
 def test_early_stopping_and_best_limit():

@@ -1,0 +1,199 @@
+"""End-to-end pipeline tests on a tiny synthetic world (CPU)."""
+
+import os
+import random
+import string
+
+import numpy as np
+import pytest
+
+from doppelspeller_tpu import constants as c
+from doppelspeller_tpu.config import Config
+from doppelspeller_tpu.models.gbt import GBTParams
+from doppelspeller_tpu.models.trainer import (
+    WordCounts,
+    assemble_training_pairs,
+    evaluation_indexes,
+    train_model,
+)
+from doppelspeller_tpu.ops.jaccard import JaccardScorer
+from doppelspeller_tpu.ops.ngram_index import build_truth_index
+from doppelspeller_tpu.pipeline import Matcher, accuracy_report
+from doppelspeller_tpu.utils.io import TitleSet, single_title_set
+from doppelspeller_tpu.utils.misspell import generate_misspelled_name
+
+
+def _word(rng, n):
+    return "".join(rng.choice(string.ascii_lowercase) for _ in range(n))
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    """A synthetic truth DB + train + test set with known ground truth."""
+    rng = random.Random(11)
+    tmp = tmp_path_factory.mktemp("world")
+    cfg = Config(
+        data_path=str(tmp),
+        title_block=128,
+        query_block=8,
+        pair_block=128,
+        top_n_predicting=20,
+        top_n_training=5,
+        gbt_num_boost_round=40,
+        gbt_early_stopping_rounds=40,
+        seed=5,
+    )
+    truth_titles = []
+    for _ in range(250):
+        n_words = rng.randint(2, 4)
+        truth_titles.append(" ".join(_word(rng, rng.randint(3, 9)) for _ in range(n_words)))
+    truth = TitleSet.from_titles(
+        truth_titles, ids=np.arange(1000, 1000 + len(truth_titles)), config=cfg
+    )
+
+    # train rows: 60 misspelled truth titles (labels known) + 30 random (label -1)
+    train_titles, train_labels = [], []
+    for i in range(60):
+        t = truth.transformed[i]
+        train_titles.append(generate_misspelled_name(t, rng))
+        train_labels.append(int(truth.ids[i]))
+    for _ in range(30):
+        train_titles.append(" ".join(_word(rng, rng.randint(4, 8)) for _ in range(3)))
+        train_labels.append(-1)
+    train = TitleSet.from_titles(
+        train_titles, ids=np.arange(len(train_titles)),
+        labels=np.array(train_labels), config=cfg,
+    )
+
+    # test rows: 30 exact + 40 misspelled + 20 not-in-truth
+    test_titles, actuals = [], []
+    for i in range(100, 130):
+        test_titles.append(truth.titles[i])
+        actuals.append(int(truth.ids[i]))
+    for i in range(130, 170):
+        test_titles.append(generate_misspelled_name(truth.transformed[i], rng))
+        actuals.append(int(truth.ids[i]))
+    for _ in range(20):
+        test_titles.append(" ".join(_word(rng, rng.randint(5, 9)) for _ in range(3)))
+        actuals.append(-1)
+    test = TitleSet.from_titles(
+        test_titles, ids=np.arange(len(test_titles)), config=cfg
+    )
+    return cfg, truth, train, test, np.array(actuals)
+
+
+@pytest.fixture(scope="module")
+def trained(world):
+    cfg, truth, train, test, actuals = world
+    params = GBTParams.from_config(cfg)
+    params.num_boost_round = 40
+    model, report = train_model(
+        config=cfg, train=train, truth=truth, params=params, save=True
+    )
+    return model, report
+
+
+def test_assemble_training_pairs(world):
+    cfg, truth, train, test, actuals = world
+    scorer = JaccardScorer(build_truth_index(truth, cfg), cfg)
+    pairs = assemble_training_pairs(train, truth, scorer, cfg, random.Random(0))
+    kinds = pairs.kind
+    n_neg = int((kinds == c.TRAINING_KIND_NEGATIVE).sum())
+    n_pos = int((kinds == c.TRAINING_KIND_POSITIVE).sum())
+    n_gen = int((kinds == c.TRAINING_KIND_GENERATED).sum())
+    assert n_neg == 30 * cfg.top_n_training
+    assert n_pos == 60 * cfg.top_n_training
+    assert n_gen == sum(len(t) > 9 for t in truth.transformed)
+    # every positive row-group contains its label exactly once with target 1
+    pos_targets = pairs.target[kinds == c.TRAINING_KIND_POSITIVE]
+    per_row = pos_targets.reshape(60, cfg.top_n_training)
+    assert (per_row.sum(axis=1) == 1).all()
+
+
+def test_evaluation_split_fractions(world):
+    cfg, truth, train, test, actuals = world
+    kind = np.array(
+        [c.TRAINING_KIND_GENERATED] * 500
+        + [c.TRAINING_KIND_NEGATIVE] * 300
+        + [c.TRAINING_KIND_POSITIVE] * 200,
+        dtype=np.uint8,
+    )
+    idx = evaluation_indexes(kind, cfg)
+    total = 1000
+    # sizes are fractions of the TOTAL (reference quirk)
+    n_gen = (kind[idx] == c.TRAINING_KIND_GENERATED).sum()
+    n_neg = (kind[idx] == c.TRAINING_KIND_NEGATIVE).sum()
+    n_pos = (kind[idx] == c.TRAINING_KIND_POSITIVE).sum()
+    assert n_gen == int(total * cfg.evaluation_fraction_generated)
+    assert n_neg == int(total * cfg.evaluation_fraction_negative)
+    assert n_pos == int(total * cfg.evaluation_fraction_positive)
+
+
+def test_training_report(trained):
+    model, report = trained
+    em = report["error_matrix"]
+    total = sum(em.values())
+    assert total > 0
+    # the model must actually separate: mostly true cells
+    assert (em["tp"] + em["tn"]) / total > 0.9
+    assert report["feature_importance"].shape == (66,)
+
+
+def test_end_to_end_accuracy(world, trained, tmp_path):
+    cfg, truth, train, test, actuals = world
+    model, _ = trained
+    matcher = Matcher(cfg, truth=truth, model=model)
+    result = matcher.predict(test)
+
+    # exact matches must all hit via stage 1
+    assert result.stage_counts["exact"] >= 28  # duplicate titles may differ
+    out_path = str(tmp_path / "out.csv")
+    result.save_csv(out_path, cfg.delimiter)
+
+    # score
+    import pandas as pd
+
+    actual_df = pd.DataFrame({"test_index": test.ids, "company_id": actuals})
+    actuals_path = str(tmp_path / "actuals.csv")
+    actual_df.to_csv(actuals_path, index=False, sep=cfg.delimiter)
+    report = accuracy_report(actuals_path, out_path, cfg.delimiter)
+
+    n = len(actuals)
+    accuracy = (report["correctly_matched"] + report["correctly_not_found"]) / n
+    assert accuracy > 0.75, report
+    # exact queries must all be correct
+    assert report["correctly_matched"] >= 28
+
+
+def test_single_title_search(world, trained):
+    cfg, truth, train, test, actuals = world
+    model, _ = trained
+    matcher = Matcher(cfg, truth=truth, model=model)
+    # exact title
+    res = matcher.predict(single_title_set(truth.titles[3], cfg), single=True)
+    d = res.single_result()
+    assert d["match_title_id"] == int(truth.ids[3])
+    assert d["prediction"] == 1.0
+    # misspelled title returns SOME candidate (argmax, no threshold)
+    rng = random.Random(77)
+    q = generate_misspelled_name(truth.transformed[7], rng)
+    if q != truth.transformed[7]:
+        res = matcher.predict(single_title_set(q, cfg), single=True)
+        d = res.single_result()
+        assert d["match_title_id"] != -1
+
+
+def test_output_csv_format(world, trained, tmp_path):
+    cfg, truth, train, test, actuals = world
+    model, _ = trained
+    matcher = Matcher(cfg, truth=truth, model=model)
+    result = matcher.predict(test)
+    path = str(tmp_path / "final_output.csv")
+    result.save_csv(path, cfg.delimiter)
+    with open(path) as f:
+        header = f.readline().strip()
+    assert header == "title_id|test_index"
+    import pandas as pd
+
+    df = pd.read_csv(path, sep="|")
+    assert (df["test_index"].values == np.sort(test.ids)).all()
