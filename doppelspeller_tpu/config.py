@@ -84,6 +84,10 @@ class Config:
     seed: int = 0
 
     # ---- TPU execution knobs (new; no reference equivalent) ----
+    # matmul dtype for jaccard scoring: bfloat16 rides the MXU at full rate
+    # with ~0.3% relative score error (top-k recall is unaffected in tests);
+    # float32 is bit-faithful to the set-math oracle
+    score_dtype: str = "bfloat16"
     # queries scored per device step (rows of the MXU matmul)
     query_block: int = 128
     # max unique trigrams considered per query (titles have <=253 trigrams;

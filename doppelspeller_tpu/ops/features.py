@@ -247,11 +247,19 @@ def construct_features(
     word_counts: np.ndarray,
     n_truth: int,
     config: Optional[Config] = None,
+    *,
+    t_words=None,       # optional precomputed (start, wlen, n_words_t)
+    q_wo_pre=None,      # optional precomputed (q_wo, q_wo_len)
 ) -> np.ndarray:
     """Compute float32[N, 66] features for N (query, candidate) pairs.
 
     ``word_counts`` is uint32[N, 15]: truth-DB document counts of the first
     15 candidate words (reference feature_engineering.py:309-319).
+    Callers scoring many pairs against the same truth/query rows should pass
+    pre-gathered ``t_words``/``q_wo_pre`` (see pipeline.Matcher).
+
+    All device chunks are dispatched before any result is fetched, so the
+    device pipeline stays full while the host gathers the next chunk.
     """
     cfg = config or get_config()
     n = len(q_len)
@@ -260,8 +268,14 @@ def construct_features(
     out = np.zeros((n, FEATURES_COUNT), dtype=np.float32)
 
     # host prep (vectorized numpy)
-    start, wlen, n_words_t = split_words_host(t_enc, t_len)
-    q_wo, q_wo_len = remove_spaces_host(q_enc, q_len)
+    if t_words is None:
+        start, wlen, n_words_t = split_words_host(t_enc, t_len)
+    else:
+        start, wlen, n_words_t = t_words
+    if q_wo_pre is None:
+        q_wo, q_wo_len = remove_spaces_host(q_enc, q_len)
+    else:
+        q_wo, q_wo_len = q_wo_pre
 
     max_word = wlen.max(axis=1)
     pair_len = np.maximum(q_len, t_len)
@@ -269,18 +283,17 @@ def construct_features(
     w_buckets = [8, 16, 32, 64, q_enc.shape[1]]
     tb_idx = np.searchsorted(np.asarray(buckets), pair_len)
     wb_idx = np.searchsorted(np.asarray(w_buckets), np.maximum(max_word, 1))
-    chunk = max(cfg.pair_block // 16, 64)
 
+    pending = []
     for ti, TL in enumerate(buckets):
         for wi, WL in enumerate(w_buckets):
             if WL > TL:
                 continue
-            sel_mask = (tb_idx == ti) & (wb_idx == wi)
-            # long-word pairs whose word bucket exceeds the title bucket are
-            # impossible (a word is never longer than its title)
-            sel = np.flatnonzero(sel_mask)
+            sel = np.flatnonzero((tb_idx == ti) & (wb_idx == wi))
             if len(sel) == 0:
                 continue
+            # chunk size bounded by the DP-state footprint (B·15·TL·WL·4B)
+            chunk = int(np.clip((1 << 22) // (TL * WL), 64, cfg.pair_block))
             wchars = gather_word_chars(t_enc[sel], start[sel], wlen[sel], WL)
             for s in range(0, len(sel), chunk):
                 idx = sel[s : s + chunk]
@@ -298,7 +311,7 @@ def construct_features(
                     jnp.asarray(pad2(q_len[idx])),
                     jnp.asarray(pad2(t_enc[idx, :TL])),
                     jnp.asarray(pad2(np.maximum(t_len[idx], 1))),
-                    jnp.asarray(pad2(wchars[s : s + chunk][: m])),
+                    jnp.asarray(pad2(wchars[s : s + chunk])),
                     jnp.asarray(pad2(wlen[idx])),
                     jnp.asarray(pad2(np.maximum(n_words_t[idx], 1))),
                     jnp.asarray(pad2(q_wo[idx, :TL])),
@@ -306,5 +319,7 @@ def construct_features(
                     jnp.asarray(pad2(word_counts[idx].astype(np.float32))),
                     jnp.float32(n_truth),
                 )
-                out[idx] = np.asarray(feats[:m])
+                pending.append((idx, m, feats))
+    for idx, m, feats in pending:
+        out[idx] = np.asarray(feats[:m])
     return out

@@ -107,6 +107,17 @@ def topk_over_blocks(
     return vals, idxs
 
 
+def densify_weights(w_pos: jnp.ndarray, w_val: jnp.ndarray, union_size: int,
+                    dtype) -> jnp.ndarray:
+    """Scatter sparse (positions-into-union, values) → dense (QB, U) weights.
+    Position ``union_size`` is the padding slot (dropped)."""
+    qb, lq = w_pos.shape
+    rq = jax.lax.broadcasted_iota(jnp.int32, (qb, lq), 0)
+    w = jnp.zeros((qb, union_size + 1), dtype)
+    w = w.at[rq, w_pos].set(w_val.astype(dtype), mode="drop")
+    return w[:, :union_size]
+
+
 @partial(
     jax.jit,
     static_argnames=("k", "title_block", "score_dtype"),
@@ -115,7 +126,8 @@ def jaccard_topk_kernel(
     packed: jnp.ndarray,      # uint8[V, ntp//8] device-resident truth bits
     sums: jnp.ndarray,        # float32[ntp] per-title IDF sums
     union_ids: jnp.ndarray,   # int32[U] trigram rows to gather
-    weights: jnp.ndarray,     # float32[QB, U] query IDF weights
+    w_pos: jnp.ndarray,       # int32[QB, LQ] per-query positions into union
+    w_val: jnp.ndarray,       # float32[QB, LQ] per-query IDF weights
     maxint: jnp.ndarray,      # float32[QB] per-query union-IDF upper bound
     nt: jnp.ndarray,          # int32 scalar: number of real titles
     *,
@@ -124,6 +136,8 @@ def jaccard_topk_kernel(
     score_dtype: str = "float32",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (top-k jaccard scores float32[QB, k], title positions int32[QB, k])."""
+    dtype = jnp.dtype(score_dtype)
+    weights = densify_weights(w_pos, w_val, union_ids.shape[0], dtype)
     rows = packed[union_ids]                       # (U, ntp//8) row gather
     return topk_over_blocks(
         rows, sums, weights, maxint, jnp.int32(0), nt,
@@ -210,7 +224,8 @@ class JaccardScorer:
                 self.packed_d,
                 self.sums_d,
                 jnp.asarray(plan.union_ids),
-                jnp.asarray(plan.weights),
+                jnp.asarray(plan.w_pos),
+                jnp.asarray(plan.w_val),
                 jnp.asarray(plan.max_intersection),
                 self.nt_d,
                 k=k,

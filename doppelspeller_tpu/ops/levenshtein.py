@@ -102,6 +102,7 @@ def batched_ratio(
     buckets = [b for b in cfg.length_buckets if b < enc_a.shape[1]] + [enc_a.shape[1]]
     chunk = cfg.pair_block
     bucket_idx = np.searchsorted(np.asarray(buckets), pair_len)
+    pending = []
     for bi, bkt in enumerate(buckets):
         sel = np.flatnonzero(bucket_idx == bi)
         if len(sel) == 0:
@@ -109,7 +110,6 @@ def batched_ratio(
         for start in range(0, len(sel), chunk):
             idx = sel[start : start + chunk]
             m = len(idx)
-            pad = chunk - m
             a = np.zeros((chunk, bkt), dtype=np.uint8)
             b = np.zeros((chunk, bkt), dtype=np.uint8)
             a[:m] = enc_a[idx, :bkt]
@@ -118,8 +118,10 @@ def batched_ratio(
             lb = np.zeros(chunk, dtype=np.int32)
             la[:m] = np.minimum(len_a[idx], bkt)
             lb[:m] = np.minimum(len_b[idx], bkt)
-            r = np.asarray(ratio_kernel(jnp.asarray(a), jnp.asarray(la), jnp.asarray(b), jnp.asarray(lb)))
-            out[idx] = r[:m]
+            r = ratio_kernel(jnp.asarray(a), jnp.asarray(la), jnp.asarray(b), jnp.asarray(lb))
+            pending.append((idx, m, r))
+    for idx, m, r in pending:
+        out[idx] = np.asarray(r)[:m]
     return out
 
 

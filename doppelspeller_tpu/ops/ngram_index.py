@@ -141,13 +141,29 @@ def build_truth_index(truth: TitleSet, config: Optional[Config] = None) -> Truth
 @dataclass
 class QueryBlockPlan:
     """One static-shaped device call: ≤ query_block queries whose trigram-id
-    union fits in ``union_size`` slots."""
+    union fits in ``union_size`` slots.
+
+    The (query × union) IDF-weight matrix is shipped *sparse* — per-query
+    positions into the union plus values — and densified on device (the
+    dense matrix is ~30× larger than the sparse form; host↔device bandwidth
+    through the TPU tunnel is scarce)."""
 
     query_rows: np.ndarray    # int64[qb] row numbers into the query set
     union_ids: np.ndarray     # int32[union_size] gather rows (padded with 0)
-    weights: np.ndarray       # float32[query_block, union_size] IDF weights
+    w_pos: np.ndarray         # int32[query_block, LQ] positions into union
+                              # (== union_size ⇒ padding slot)
+    w_val: np.ndarray         # float32[query_block, LQ] IDF weights
     max_intersection: np.ndarray  # float32[query_block] union-IDF upper bound
     n_valid: int              # number of real queries in this block
+
+    @property
+    def weights(self) -> np.ndarray:
+        """Dense float32[qb, union_size] weight matrix (tests/oracles)."""
+        qb, lq = self.w_pos.shape
+        u = self.union_ids.shape[0]
+        w = np.zeros((qb, u + 1), dtype=np.float32)
+        w[np.arange(qb)[:, None], self.w_pos] = self.w_val
+        return w[:, :u]
 
 
 def plan_query_blocks(
@@ -183,6 +199,13 @@ def plan_query_blocks(
     w_fb = np.where(idf_g > 0.0, idf_g, np.float32(index.max_idf))
     maxint_all = (w_fb * valid_all).sum(axis=1, dtype=np.float64).astype(np.float32)
 
+    # per-query trigram count → one static LQ bucket for the whole run
+    counts = valid_all.sum(axis=1)
+    lq = 32
+    while lq < int(counts.max(initial=1)):
+        lq *= 2
+    lq = min(lq, ids_all.shape[1])
+
     plans: List[QueryBlockPlan] = []
 
     def emit(sel: np.ndarray) -> None:
@@ -199,19 +222,21 @@ def plan_query_blocks(
         m = len(sel)
         union_ids = np.zeros(union_cap, dtype=np.int32)
         union_ids[: len(union)] = union
-        pos = np.searchsorted(union, blk_ids)           # (m, L-2)
-        v = valid_all[sel]
+        pos = np.searchsorted(union, blk_ids[:, :lq])   # (m, lq)
+        v = valid_all[sel][:, :lq]
         pos = np.where(v, pos, union_cap)               # dump column
-        weights = np.zeros((qb, union_cap + 1), dtype=np.float32)
-        rq = np.broadcast_to(np.arange(m)[:, None], pos.shape)
-        weights[rq, pos] = idf_g[sel] * v
+        w_pos = np.full((qb, lq), union_cap, dtype=np.int32)
+        w_val = np.zeros((qb, lq), dtype=np.float32)
+        w_pos[:m] = pos
+        w_val[:m] = idf_g[sel][:, :lq] * v
         maxint = np.zeros(qb, dtype=np.float32)
         maxint[:m] = maxint_all[sel]
         plans.append(
             QueryBlockPlan(
                 query_rows=rows[sel],
                 union_ids=union_ids,
-                weights=weights[:, :union_cap],
+                w_pos=w_pos,
+                w_val=w_val,
                 max_intersection=maxint,
                 n_valid=m,
             )

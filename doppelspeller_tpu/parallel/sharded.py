@@ -89,9 +89,14 @@ class ShardedJaccardScorer:
         title_block = self.cfg.title_block
         score_dtype = getattr(self.cfg, "score_dtype", "float32")
 
-        def _sharded(packed_l, sums_l, union_ids, weights, maxint, nt, *, k):
+        def _sharded(packed_l, sums_l, union_ids, w_pos, w_val, maxint, nt, *, k):
+            from doppelspeller_tpu.ops.jaccard import densify_weights
+
             idx = jax.lax.axis_index(axis)
             ntp_local = packed_l.shape[1] * 8
+            weights = densify_weights(
+                w_pos, w_val, union_ids.shape[0], jnp.dtype(score_dtype)
+            )
             rows = packed_l[union_ids]
             vals, pos = topk_over_blocks(
                 rows, sums_l, weights, maxint,
@@ -112,19 +117,19 @@ class ShardedJaccardScorer:
 
         self._sharded = _sharded
 
-    def topk_kernel(self, union_ids, weights, maxint, k: int):
+    def topk_kernel(self, union_ids, w_pos, w_val, maxint, k: int):
         axis = self.axis
         # after the all-gather + merge the outputs are replicated, but the
         # checker cannot statically infer that — disable the check
         fn = shard_map(
             partial(self._sharded, k=k),
             mesh=self.mesh,
-            in_specs=(P(None, axis), P(axis), P(), P(), P(), P()),
+            in_specs=(P(None, axis), P(axis), P(), P(), P(), P(), P()),
             out_specs=(P(), P()),
             check_vma=False,
         )
         return jax.jit(fn)(
-            self.packed_d, self.sums_d, union_ids, weights, maxint, self.nt
+            self.packed_d, self.sums_d, union_ids, w_pos, w_val, maxint, self.nt
         )
 
     def topk(self, queries, k: Optional[int] = None, rows=None):
@@ -141,7 +146,8 @@ class ShardedJaccardScorer:
         for plan in plans:
             outs = self.topk_kernel(
                 jnp.asarray(plan.union_ids),
-                jnp.asarray(plan.weights),
+                jnp.asarray(plan.w_pos),
+                jnp.asarray(plan.w_val),
                 jnp.asarray(plan.max_intersection),
                 k,
             )

@@ -112,7 +112,35 @@ class Matcher:
         self.reverse: Dict[str, int] = {
             t: int(i) for t, i in zip(self.truth.transformed, self.truth.ids)
         }
-        self._token_sorted_truth: Optional[List[str]] = None
+        # per-truth-title caches, computed once and gathered per pair
+        self._counts_matrix: Optional[np.ndarray] = None
+        self._truth_words = None          # (start, wlen, n_words)
+        self._ts_truth = None             # token-sorted (enc, len)
+
+    @property
+    def counts_matrix(self) -> np.ndarray:
+        if self._counts_matrix is None:
+            self._counts_matrix = self.word_counts.matrix(self.truth.transformed)
+        return self._counts_matrix
+
+    @property
+    def truth_words(self):
+        if self._truth_words is None:
+            from doppelspeller_tpu.ops.features import split_words_host
+
+            self._truth_words = split_words_host(
+                self.truth.encoded, self.truth.lengths
+            )
+        return self._truth_words
+
+    @property
+    def ts_truth(self):
+        if self._ts_truth is None:
+            ts = [self._token_sort(t) for t in self.truth.transformed]
+            enc = T.encode_titles(ts, self.cfg.max_characters)
+            lens = np.array([min(len(s), self.cfg.max_characters) for s in ts], np.int32)
+            self._ts_truth = (enc, lens)
+        return self._ts_truth
 
     def _load_model(self) -> GBTModel:
         if self.model is None:
@@ -164,18 +192,18 @@ class Matcher:
             fb = ratio[rows, cols] <= thr
             if fb.any():
                 fr, fc = rows[fb], cols[fb]
-                q_ts = [self._token_sort(queries.transformed[r]) for r in rem[fr]]
-                t_ts = [
-                    self._token_sort(self.truth.transformed[p])
-                    for p in cand_pos[fr, fc]
-                ]
-                q_ts_enc = T.encode_titles(q_ts, cfg.max_characters)
-                t_ts_enc = T.encode_titles(t_ts, cfg.max_characters)
+                # token-sorted encodings: per unique title, then gathered
+                ts_t_enc, ts_t_len = self.ts_truth
+                uq = np.unique(rem[fr])
+                ts_q = [self._token_sort(queries.transformed[r]) for r in uq]
+                ts_q_enc_u = T.encode_titles(ts_q, cfg.max_characters)
+                ts_q_len_u = np.array([min(len(s), cfg.max_characters) for s in ts_q], np.int32)
+                qmap = {int(r): j for j, r in enumerate(uq)}
+                qi = np.array([qmap[int(r)] for r in rem[fr]], np.int64)
+                pos = cand_pos[fr, fc]
                 ratio[fr, fc] = ratio_rounded(
-                    q_ts_enc,
-                    np.array([len(s) for s in q_ts], np.int32),
-                    t_ts_enc,
-                    np.array([len(s) for s in t_ts], np.int32),
+                    ts_q_enc_u[qi], ts_q_len_u[qi],
+                    ts_t_enc[pos], ts_t_len[pos],
                     cfg,
                 )
 
@@ -216,10 +244,20 @@ class Matcher:
         q_len = queries.lengths[q_rows]
         t_enc = self.truth.encoded[flat_pos]
         t_len = self.truth.lengths[flat_pos]
-        counts = self.word_counts.for_titles(
-            [self.truth.transformed[p] for p in flat_pos]
+        counts = self.counts_matrix[flat_pos]
+        # per-unique precomputed prep, gathered per pair
+        t_start, t_wlen, t_nwords = self.truth_words
+        from doppelspeller_tpu.ops.features import remove_spaces_host
+
+        q_wo_u, q_wo_len_u = remove_spaces_host(
+            queries.encoded[rem], queries.lengths[rem]
         )
-        X = construct_features(q_enc, q_len, t_enc, t_len, counts, len(self.truth), cfg)
+        rep = np.repeat(np.arange(R), K)
+        X = construct_features(
+            q_enc, q_len, t_enc, t_len, counts, len(self.truth), cfg,
+            t_words=(t_start[flat_pos], t_wlen[flat_pos], t_nwords[flat_pos]),
+            q_wo_pre=(q_wo_u[rep], q_wo_len_u[rep]),
+        )
         pred = model.predict(X)
         q_idx = np.repeat(np.arange(R), K)
 

@@ -54,4 +54,5 @@ def small_config(tmp_path):
         title_block=128,
         query_block=8,
         pair_block=64,
+        score_dtype="float32",
     )

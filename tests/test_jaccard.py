@@ -50,7 +50,7 @@ def small_world():
     query_titles = _random_titles(37, rng)
     # include exact and near matches
     query_titles += [truth_titles[5], truth_titles[10][:-1] + "x"]
-    cfg = Config(data_path="/tmp/x", title_block=128, query_block=8)
+    cfg = Config(data_path="/tmp/x", title_block=128, query_block=8, score_dtype="float32")
     truth = TitleSet.from_titles(truth_titles, config=cfg)
     queries = TitleSet.from_titles(query_titles, config=cfg)
     index = build_truth_index(truth, cfg)
@@ -126,6 +126,22 @@ def test_topk_subset_rows(small_world):
     subset = np.array([3, 17, 38])
     s, p = scorer.topk(queries, k=10, rows=subset)
     np.testing.assert_allclose(s, all_scores[subset], rtol=1e-6)
+
+
+def test_bfloat16_recall_matches_float32(small_world):
+    """The fast bf16 scoring path must preserve top-k candidate recall."""
+    cfg, truth, queries, index, idf_map, max_idf = small_world
+    f32 = JaccardScorer(index, cfg)
+    bf16 = JaccardScorer(index, cfg.with_(score_dtype="bfloat16"))
+    k = 10
+    s1, p1 = f32.topk(queries, k=k)
+    s2, p2 = bf16.topk(queries, k=k)
+    np.testing.assert_allclose(s1, s2, rtol=8e-3, atol=1e-3)
+    # recall of the top-10 candidate sets (ties may reorder)
+    recall = np.mean([
+        len(set(p1[i]) & set(p2[i])) / k for i in range(len(queries))
+    ])
+    assert recall > 0.97
 
 
 def test_index_save_load_roundtrip(small_world, tmp_path):

@@ -39,7 +39,7 @@ def _titles(n, rng):
 @pytest.fixture(scope="module")
 def world():
     rng = random.Random(9)
-    cfg = Config(data_path="/tmp/x", title_block=128, query_block=8)
+    cfg = Config(data_path="/tmp/x", title_block=128, query_block=8, score_dtype="float32")
     truth = TitleSet.from_titles(_titles(600, rng), config=cfg)
     queries = TitleSet.from_titles(_titles(33, rng) + [truth.transformed[4]], config=cfg)
     index = build_truth_index(truth, cfg)

@@ -36,6 +36,7 @@ def world(tmp_path_factory):
         data_path=str(tmp),
         title_block=128,
         query_block=8,
+        score_dtype="float32",
         pair_block=128,
         top_n_predicting=20,
         top_n_training=5,
