@@ -88,6 +88,8 @@ class Config:
     # with ~0.3% relative score error (top-k recall is unaffected in tests);
     # float32 is bit-faithful to the set-math oracle
     score_dtype: str = "bfloat16"
+    # sliding-window DP backend: "auto" → pallas on TPU, xla elsewhere
+    window_impl: str = "auto"
     # queries scored per device step (rows of the MXU matmul)
     query_block: int = 128
     # max unique trigrams considered per query (titles have <=253 trigrams;

@@ -44,6 +44,13 @@ NUM_WORD_SLOTS = 15
 _BIG = 1 << 20
 
 
+def resolve_window_impl(cfg: Config) -> str:
+    impl = getattr(cfg, "window_impl", "auto")
+    if impl == "auto":
+        return "pallas" if jax.default_backend() != "cpu" else "xla"
+    return impl
+
+
 # ---------------------------------------------------------------- host prep
 
 def split_words_host(enc: np.ndarray, lengths: np.ndarray, w_slots: int = NUM_WORD_SLOTS):
@@ -99,7 +106,7 @@ def remove_spaces_host(enc: np.ndarray, lengths: np.ndarray):
 
 # ------------------------------------------------------------- device kernel
 
-@jax.jit
+@partial(jax.jit, static_argnames=("window_impl",))
 def _features_kernel(
     q_enc: jnp.ndarray,       # uint8[B, TL]
     q_len: jnp.ndarray,       # int32[B]
@@ -112,6 +119,7 @@ def _features_kernel(
     q_wo_len: jnp.ndarray,    # int32[B]
     word_counts: jnp.ndarray, # float32[B, W] truth-DB word document counts
     n_truth: jnp.ndarray,     # float32 scalar
+    window_impl: str = "xla", # "xla" | "pallas" | "pallas_interpret"
 ) -> jnp.ndarray:
     B, W, WL = word_chars.shape
     TL = q_wo.shape[1]
@@ -127,45 +135,19 @@ def _features_kernel(
     lev = _floor_ratio(lcs_kernel(q_enc, q_len, t_enc, t_len), q_len + t_len)
 
     # ---- sliding-window LCS for every (pair, word, position) ----
-    p_iota = jax.lax.broadcasted_iota(jnp.int32, (B, P), 1)     # (B, P)
-    j_iota = jax.lax.broadcasted_iota(jnp.int32, (P, WL), 1)    # (P, WL)
-    pj = jax.lax.broadcasted_iota(jnp.int32, (P, WL), 0) + j_iota  # p + j
-    pj_clip = jnp.minimum(pj, TL - 1)
-    # window chars wc[b, p, j] = q_wo[b, p+j], zeroed past the string end
-    wc = (q_wo[:, pj_clip] * (pj < q_wo_len[:, None, None])).astype(jnp.uint8)  # (B, P, WL)
+    # the bit-parallel pallas kernel packs word positions into uint32 bits:
+    # words longer than 32 chars (rare) fall back to the XLA scan
+    if window_impl.startswith("pallas") and WL <= 32 and TL % 8 == 0:
+        from doppelspeller_tpu.ops.features_pallas import window_best_pallas
 
-    win_len = jnp.clip(
-        jnp.minimum(word_len[:, :, None], q_wo_len[:, None, None] - p_iota[:, None, :]),
-        0,
-    )                                                            # (B, W, P)
-    win_valid = (p_iota[:, None, :] < q_wo_len[:, None, None]) & valid_word[:, :, None]
-
-    # window char j participates only when j < win_len (the reference's
-    # window is q_wo[p : p + word_len], truncated at the string end)
-    j_in_window = jnp.arange(WL, dtype=jnp.int32) < win_len[..., None]  # (B, W, P, WL)
-
-    def dp_step(dp, i):
-        ai = jax.lax.dynamic_index_in_dim(word_chars, i, axis=2, keepdims=False)  # (B, W)
-        valid_i = i < word_len                                   # (B, W)
-        eq = (wc[:, None, :, :] == ai[:, :, None, None]) & (wc[:, None, :, :] > 0)
-        eq = (eq & j_in_window & valid_i[:, :, None, None]).astype(jnp.int32)  # (B, W, P, WL)
-        cand = jnp.maximum(dp[..., 1:], dp[..., :-1] + eq)
-        new = jax.lax.cummax(cand, axis=3)
-        new = jnp.concatenate([jnp.zeros((B, W, P, 1), jnp.int32), new], axis=-1)
-        return jnp.where(valid_i[:, :, None, None], new, dp), None
-
-    dp0 = jnp.zeros((B, W, P, WL + 1), jnp.int32)
-    dp, _ = jax.lax.scan(dp_step, dp0, jnp.arange(WL))
-    # LCS of word vs window = running max at the last column (row is
-    # non-decreasing, so the value at column WL equals the value at win_len)
-    lcs_wp = dp[..., WL]                                         # (B, W, P)
-
-    total_wp = (word_len[:, :, None] + win_len).astype(jnp.float32)
-    ratio_wp = jnp.floor(200.0 * lcs_wp.astype(jnp.float32) / jnp.maximum(total_wp, 1.0))
-    ratio_wp = jnp.where(win_valid, ratio_wp, -1.0)
-
-    best_ratio = jnp.max(ratio_wp, axis=2)                       # (B, W)
-    best_p = jnp.argmax(ratio_wp, axis=2).astype(jnp.int32)      # first max ⇒
+        best_ratio, best_p = window_best_pallas(
+            word_chars, word_len, q_wo, q_wo_len,
+            interpret=(window_impl == "pallas_interpret"),
+        )
+    else:
+        best_ratio, best_p = _window_best_xla(
+            word_chars, word_len, q_wo, q_wo_len
+        )
     # parity with the reference's strict '>' update (feature_engineering.py:147)
     best_ratio = jnp.maximum(best_ratio, 0.0)
 
@@ -221,6 +203,56 @@ def _features_kernel(
         axis=1,
     )
     return jnp.concatenate([basic, best_ratios_f, word_len_f, idf, ranks], axis=1)
+
+
+def _window_best_xla(word_chars, word_len, q_wo, q_wo_len):
+    """XLA scan formulation of the sliding-window DP (reference path for
+    tests; the pallas path keeps the DP state in VMEM instead)."""
+    B, W, WL = word_chars.shape
+    TL = q_wo.shape[1]
+    P = TL
+    valid_word = word_len > 0
+
+    p_iota = jax.lax.broadcasted_iota(jnp.int32, (B, P), 1)     # (B, P)
+    j_iota = jax.lax.broadcasted_iota(jnp.int32, (P, WL), 1)    # (P, WL)
+    pj = jax.lax.broadcasted_iota(jnp.int32, (P, WL), 0) + j_iota  # p + j
+    pj_clip = jnp.minimum(pj, TL - 1)
+    # window chars wc[b, p, j] = q_wo[b, p+j], zeroed past the string end
+    wc = (q_wo[:, pj_clip] * (pj < q_wo_len[:, None, None])).astype(jnp.uint8)  # (B, P, WL)
+
+    win_len = jnp.clip(
+        jnp.minimum(word_len[:, :, None], q_wo_len[:, None, None] - p_iota[:, None, :]),
+        0,
+    )                                                            # (B, W, P)
+    win_valid = (p_iota[:, None, :] < q_wo_len[:, None, None]) & valid_word[:, :, None]
+
+    # window char j participates only when j < win_len (the reference's
+    # window is q_wo[p : p + word_len], truncated at the string end)
+    j_in_window = jnp.arange(WL, dtype=jnp.int32) < win_len[..., None]  # (B, W, P, WL)
+
+    def dp_step(dp, i):
+        ai = jax.lax.dynamic_index_in_dim(word_chars, i, axis=2, keepdims=False)  # (B, W)
+        valid_i = i < word_len                                   # (B, W)
+        eq = (wc[:, None, :, :] == ai[:, :, None, None]) & (wc[:, None, :, :] > 0)
+        eq = (eq & j_in_window & valid_i[:, :, None, None]).astype(jnp.int32)  # (B, W, P, WL)
+        cand = jnp.maximum(dp[..., 1:], dp[..., :-1] + eq)
+        new = jax.lax.cummax(cand, axis=3)
+        new = jnp.concatenate([jnp.zeros((B, W, P, 1), jnp.int32), new], axis=-1)
+        return jnp.where(valid_i[:, :, None, None], new, dp), None
+
+    dp0 = jnp.zeros((B, W, P, WL + 1), jnp.int32)
+    dp, _ = jax.lax.scan(dp_step, dp0, jnp.arange(WL))
+    # LCS of word vs window = running max at the last column (row is
+    # non-decreasing, so the value at column WL equals the value at win_len)
+    lcs_wp = dp[..., WL]                                         # (B, W, P)
+
+    total_wp = (word_len[:, :, None] + win_len).astype(jnp.float32)
+    ratio_wp = jnp.floor(200.0 * lcs_wp.astype(jnp.float32) / jnp.maximum(total_wp, 1.0))
+    ratio_wp = jnp.where(win_valid, ratio_wp, -1.0)
+
+    best_ratio = jnp.max(ratio_wp, axis=2)                       # (B, W)
+    best_p = jnp.argmax(ratio_wp, axis=2).astype(jnp.int32)      # first max
+    return best_ratio, best_p
 
 
 def _floor_ratio(lcs: jnp.ndarray, total: jnp.ndarray) -> jnp.ndarray:
@@ -318,6 +350,7 @@ def construct_features(
                     jnp.asarray(pad2(np.maximum(q_wo_len[idx], 1))),
                     jnp.asarray(pad2(word_counts[idx].astype(np.float32))),
                     jnp.float32(n_truth),
+                    window_impl=resolve_window_impl(cfg),
                 )
                 pending.append((idx, m, feats))
     for idx, m, feats in pending:

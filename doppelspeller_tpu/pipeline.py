@@ -116,6 +116,7 @@ class Matcher:
         self._counts_matrix: Optional[np.ndarray] = None
         self._truth_words = None          # (start, wlen, n_words)
         self._ts_truth = None             # token-sorted (enc, len)
+        self._rerank = None               # fused stage-3 device engine
 
     @property
     def counts_matrix(self) -> np.ndarray:
@@ -146,6 +147,16 @@ class Matcher:
         if self.model is None:
             self.model = GBTModel.load(self.cfg.model_path)
         return self.model
+
+    def _rerank_engine(self):
+        if self._rerank is None:
+            from doppelspeller_tpu.ops.rerank import RerankEngine
+
+            self._rerank = RerankEngine(
+                self.truth.encoded, self.truth.lengths, self.truth_words,
+                self.counts_matrix, self._load_model(), len(self.truth), self.cfg,
+            )
+        return self._rerank
 
     def _token_sort(self, title: str) -> str:
         return " ".join(sorted(title.split()))
@@ -233,33 +244,24 @@ class Matcher:
         res: PredictionResult, single: bool,
     ) -> None:
         cfg = self.cfg
-        model = self._load_model()
         R, K = cand_pos.shape
         if R == 0:
             res.stage_counts["model"] = 0
             return
-        flat_pos = cand_pos.reshape(-1)
-        q_rows = np.repeat(rem, K)
-        q_enc = queries.encoded[q_rows]
-        q_len = queries.lengths[q_rows]
-        t_enc = self.truth.encoded[flat_pos]
-        t_len = self.truth.lengths[flat_pos]
-        counts = self.counts_matrix[flat_pos]
-        # per-unique precomputed prep, gathered per pair
-        t_start, t_wlen, t_nwords = self.truth_words
         from doppelspeller_tpu.ops.features import remove_spaces_host
 
+        engine = self._rerank_engine()
+        flat_pos = cand_pos.reshape(-1).astype(np.int64)
+        q_idx = np.repeat(np.arange(R), K)
         q_wo_u, q_wo_len_u = remove_spaces_host(
             queries.encoded[rem], queries.lengths[rem]
         )
-        rep = np.repeat(np.arange(R), K)
-        X = construct_features(
-            q_enc, q_len, t_enc, t_len, counts, len(self.truth), cfg,
-            t_words=(t_start[flat_pos], t_wlen[flat_pos], t_nwords[flat_pos]),
-            q_wo_pre=(q_wo_u[rep], q_wo_len_u[rep]),
+        pred = engine.score(
+            queries.encoded[rem], queries.lengths[rem].astype(np.int32),
+            q_wo_u, q_wo_len_u,
+            q_idx, flat_pos,
+            self.truth.lengths,
         )
-        pred = model.predict(X)
-        q_idx = np.repeat(np.arange(R), K)
 
         hits = 0
         if single:
