@@ -380,28 +380,62 @@ def _logit(p: float) -> float:
     return float(np.log(p / (1.0 - p)))
 
 
+def predict_forest_margin(
+    X: jnp.ndarray,            # float32[B, F] (NaN = missing)
+    feat: jnp.ndarray,         # int32[T, n_heap]
+    thr: jnp.ndarray,          # float32[T, n_heap]
+    missing_left: jnp.ndarray, # bool[T, n_heap]
+    value: jnp.ndarray,        # float32[T, n_heap]
+    is_leaf: jnp.ndarray,      # bool[T, n_heap]
+    depth: int,
+    base_margin: float,
+) -> jnp.ndarray:
+    """Margins for the whole forest, level-synchronous across ALL trees.
+
+    Instead of scanning trees (thousands of tiny gathers), every internal
+    node's comparison is evaluated up-front with one feature gather, the
+    next-node table is built with broadcasts, and the walk needs only
+    ``depth`` take_along_axis calls on (B, T) tensors.
+    """
+    B = X.shape[0]
+    T, n_heap = feat.shape
+    n_internal = 2 ** depth - 1
+
+    f_int = feat[:, :n_internal]                       # (T, I)
+    x_sel = jnp.take(X, jnp.maximum(f_int, 0).reshape(-1), axis=1)
+    x_sel = x_sel.reshape(B, T, n_internal)
+    thr_b = thr[:, :n_internal][None]
+    ml_b = missing_left[:, :n_internal][None]
+    go_left = jnp.where(jnp.isnan(x_sel), ml_b, x_sel <= thr_b)
+    leaf_b = (is_leaf[:, :n_internal] | (f_int < 0))[None]
+    n_iota = jnp.arange(n_internal, dtype=jnp.int32)[None, None, :]
+    nxt = jnp.where(
+        leaf_b, n_iota, 2 * n_iota + 1 + (1 - go_left.astype(jnp.int32))
+    )                                                   # (B, T, I)
+
+    node = jnp.zeros((B, T), jnp.int32)
+    for _ in range(depth):
+        # one-hot select instead of take_along_axis — XLA's batched gather on
+        # TPU is ~8x slower than a masked reduction over 31 columns
+        onehot = (jnp.clip(node, 0, n_internal - 1)[:, :, None] == n_iota).astype(
+            jnp.int32
+        )
+        stepped = (nxt * onehot).sum(axis=2)
+        node = jnp.where(node >= n_internal, node, stepped)
+
+    flat = (jnp.arange(T, dtype=jnp.int32)[None, :] * n_heap + node).reshape(-1)
+    leaf_vals = jnp.take(value.reshape(-1), flat).reshape(B, T)
+    return base_margin + leaf_vals.sum(axis=1)
+
+
 @partial(jax.jit, static_argnames=("depth", "base_score"))
 def _predict_raw_kernel(X, feat, thr, missing_left, value, is_leaf, *, depth, base_score):
-    N = X.shape[0]
-
-    def per_tree(carry, tree):
-        t_feat, t_thr, t_ml, t_val, t_leaf = tree
-        node = jnp.zeros((N,), jnp.int32)
-        for _ in range(depth):
-            f = t_feat[node]
-            th = t_thr[node]
-            ml = t_ml[node]
-            leaf = t_leaf[node] | (f < 0)
-            x = jnp.take_along_axis(X, jnp.maximum(f, 0)[:, None], axis=1)[:, 0]
-            go_left = jnp.where(jnp.isnan(x), ml, x <= th)
-            nxt = 2 * node + 1 + (1 - go_left.astype(jnp.int32))
-            node = jnp.where(leaf, node, nxt)
-        return carry + t_val[node], None
-
     base_margin = float(np.log(base_score / (1.0 - base_score)))
-    init = jnp.full((N,), base_margin, jnp.float32)
-    out, _ = jax.lax.scan(per_tree, init, (feat, thr, missing_left, value, is_leaf))
-    return jax.nn.sigmoid(out)
+    return jax.nn.sigmoid(
+        predict_forest_margin(
+            X, feat, thr, missing_left, value, is_leaf, depth, base_margin
+        )
+    )
 
 
 # ------------------------------------------------------------------ training

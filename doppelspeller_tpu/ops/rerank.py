@@ -66,23 +66,12 @@ def _fused_rerank_kernel(
         window_impl=window_impl,
     )
 
-    # GBT inference (level-synchronous walk, scanned over trees)
-    def per_tree(carry, tree):
-        t_feat, t_thr, t_mlft, t_val, t_leaf = tree
-        node = jnp.zeros((B,), jnp.int32)
-        for _ in range(depth):
-            f = t_feat[node]
-            th = t_thr[node]
-            ml = t_mlft[node]
-            leaf = t_leaf[node] | (f < 0)
-            x = jnp.take_along_axis(feats, jnp.maximum(f, 0)[:, None], axis=1)[:, 0]
-            go_left = jnp.where(jnp.isnan(x), ml, x <= th)
-            nxt = 2 * node + 1 + (1 - go_left.astype(jnp.int32))
-            node = jnp.where(leaf, node, nxt)
-        return carry + t_val[node], None
+    # GBT inference: level-synchronous across all trees at once
+    from doppelspeller_tpu.models.gbt import predict_forest_margin
 
-    init = jnp.full((B,), base_margin, jnp.float32)
-    margins, _ = jax.lax.scan(per_tree, init, (m_feat, m_thr, m_ml, m_val, m_leaf))
+    margins = predict_forest_margin(
+        feats, m_feat, m_thr, m_ml, m_val, m_leaf, depth, base_margin
+    )
     return jax.nn.sigmoid(margins)
 
 
