@@ -117,6 +117,7 @@ class Matcher:
         self._truth_words = None          # (start, wlen, n_words)
         self._ts_truth = None             # token-sorted (enc, len)
         self._rerank = None               # fused stage-3 device engine
+        self._fuzzy = None                # fused stage-2 device engine
 
     @property
     def counts_matrix(self) -> np.ndarray:
@@ -147,6 +148,16 @@ class Matcher:
         if self.model is None:
             self.model = GBTModel.load(self.cfg.model_path)
         return self.model
+
+    def _fuzzy_engine(self):
+        if self._fuzzy is None:
+            from doppelspeller_tpu.ops.fuzzy import FuzzyEngine
+
+            ts_enc, ts_len = self.ts_truth
+            self._fuzzy = FuzzyEngine(
+                self.truth.encoded, self.truth.lengths, ts_enc, ts_len, self.cfg
+            )
+        return self._fuzzy
 
     def _rerank_engine(self):
         if self._rerank is None:
@@ -194,29 +205,20 @@ class Matcher:
         ratio = np.zeros((R, K), dtype=np.int32)
         rows, cols = np.nonzero(consider)
         if len(rows):
-            q_enc = queries.encoded[rem[rows]]
-            t_enc = self.truth.encoded[cand_pos[rows, cols]]
-            ratio[rows, cols] = ratio_rounded(
-                q_enc, q_len[rows], t_enc, t_len[rows, cols], cfg
+            # token-sorted query encodings for the remaining rows
+            ts_q = [self._token_sort(queries.transformed[r]) for r in rem]
+            ts_q_enc = T.encode_titles(ts_q, cfg.max_characters)
+            ts_q_len = np.array(
+                [min(len(s), cfg.max_characters) for s in ts_q], np.int32
             )
-            # token-sort fallback for considered pairs with ratio <= threshold
-            fb = ratio[rows, cols] <= thr
-            if fb.any():
-                fr, fc = rows[fb], cols[fb]
-                # token-sorted encodings: per unique title, then gathered
-                ts_t_enc, ts_t_len = self.ts_truth
-                uq = np.unique(rem[fr])
-                ts_q = [self._token_sort(queries.transformed[r]) for r in uq]
-                ts_q_enc_u = T.encode_titles(ts_q, cfg.max_characters)
-                ts_q_len_u = np.array([min(len(s), cfg.max_characters) for s in ts_q], np.int32)
-                qmap = {int(r): j for j, r in enumerate(uq)}
-                qi = np.array([qmap[int(r)] for r in rem[fr]], np.int64)
-                pos = cand_pos[fr, fc]
-                ratio[fr, fc] = ratio_rounded(
-                    ts_q_enc_u[qi], ts_q_len_u[qi],
-                    ts_t_enc[pos], ts_t_len[pos],
-                    cfg,
-                )
+            ts_t_enc, ts_t_len = self.ts_truth
+            engine = self._fuzzy_engine()
+            ratio[rows, cols] = engine.ratios(
+                queries.encoded[rem], queries.lengths[rem].astype(np.int32),
+                ts_q_enc, ts_q_len,
+                rows, cand_pos[rows, cols],
+                self.truth.lengths, ts_t_len,
+            )
 
         keep = ratio > thr                                # predict.py:172
         kr, kc = np.nonzero(keep)
