@@ -97,35 +97,46 @@ def build_truth_index(truth: TitleSet, config: Optional[Config] = None) -> Truth
 
     LOGGER.info("[TruthIndex] building packed index: %d titles (padded %d)", nt, ntp)
 
-    # Per-title unique trigram ids (ragged, host numpy)
-    grams: List[np.ndarray] = [
-        T.trigram_ids_from_codes(truth.encoded[i], int(truth.lengths[i]))
-        for i in range(nt)
-    ]
+    from doppelspeller_tpu.native import build_index_native
 
-    # Document frequency and IDF over the fixed vocabulary
-    df = np.zeros(TRIGRAM_VOCAB_SIZE, dtype=np.int32)
-    for g in grams:
-        df[g] += 1
-    idf = T.idf_table_from_df(df, nt)
-    max_idf = float(idf.max()) if nt > 0 else 0.0
+    native = build_index_native(truth.encoded, truth.lengths, TRIGRAM_VOCAB_SIZE, ntp)
+    if native is not None:
+        packed, df, flat_ids, flat_counts = native
+        idf = T.idf_table_from_df(df, nt)
+        max_idf = float(idf.max()) if nt > 0 else 0.0
+        sums = np.zeros(ntp, dtype=np.float32)
+        offsets = np.zeros(nt, dtype=np.int64)
+        np.cumsum(flat_counts[:-1], out=offsets[1:])
+        sums[:nt] = np.add.reduceat(
+            idf[flat_ids].astype(np.float64), offsets
+        ).astype(np.float32)
+    else:
+        # pure-numpy fallback
+        grams: List[np.ndarray] = [
+            T.trigram_ids_from_codes(truth.encoded[i], int(truth.lengths[i]))
+            for i in range(nt)
+        ]
+        df = np.zeros(TRIGRAM_VOCAB_SIZE, dtype=np.int32)
+        for g in grams:
+            df[g] += 1
+        idf = T.idf_table_from_df(df, nt)
+        max_idf = float(idf.max()) if nt > 0 else 0.0
 
-    # Bit-pack: bit t of row g ⟺ title t contains trigram g (little-endian)
-    packed = np.zeros((TRIGRAM_VOCAB_SIZE, nbytes), dtype=np.uint8)
-    all_g = np.concatenate(grams) if grams else np.zeros(0, dtype=np.int32)
-    all_t = np.repeat(
-        np.arange(nt, dtype=np.int64), [len(g) for g in grams]
-    )
-    np.bitwise_or.at(
-        packed,
-        (all_g.astype(np.int64), all_t >> 3),
-        (np.uint8(1) << (all_t & 7).astype(np.uint8)),
-    )
+        # Bit-pack: bit t of row g ⟺ title t contains trigram g (little-endian)
+        packed = np.zeros((TRIGRAM_VOCAB_SIZE, nbytes), dtype=np.uint8)
+        all_g = np.concatenate(grams) if grams else np.zeros(0, dtype=np.int32)
+        all_t = np.repeat(
+            np.arange(nt, dtype=np.int64), [len(g) for g in grams]
+        )
+        np.bitwise_or.at(
+            packed,
+            (all_g.astype(np.int64), all_t >> 3),
+            (np.uint8(1) << (all_t & 7).astype(np.uint8)),
+        )
 
-    # Per-title IDF sums
-    sums = np.zeros(ntp, dtype=np.float32)
-    for t, g in enumerate(grams):
-        sums[t] = idf[g].sum(dtype=np.float64)
+        sums = np.zeros(ntp, dtype=np.float32)
+        for t, g in enumerate(grams):
+            sums[t] = idf[g].sum(dtype=np.float64)
 
     return TruthIndex(
         packed=packed,

@@ -50,11 +50,17 @@ class TitleSet:
         config: Optional[Config] = None,
     ) -> "TitleSet":
         cfg = config or get_config()
-        transformed = T.transform_titles(titles)
-        encoded = T.encode_titles(transformed, cfg.max_characters)
-        lengths = np.array(
-            [min(len(t), cfg.max_characters) for t in transformed], dtype=np.int32
-        )
+        from doppelspeller_tpu.native import transform_titles_native
+
+        native = transform_titles_native(titles, cfg.max_characters, cfg.n_grams)
+        if native is not None:
+            transformed, encoded, lengths = native
+        else:
+            transformed = T.transform_titles(titles)
+            encoded = T.encode_titles(transformed, cfg.max_characters)
+            lengths = np.array(
+                [min(len(t), cfg.max_characters) for t in transformed], dtype=np.int32
+            )
         if ids is None:
             ids = np.arange(len(titles), dtype=np.int64)
         return cls(

@@ -27,6 +27,7 @@ from doppelspeller_tpu.config import (
 )
 
 _KEEP_RE = re.compile(r"[^a-zA-Z0-9\s]+")
+_WS_RE = re.compile(r"\s")
 _SPACES_RE = re.compile(r" +")
 
 # char -> code for the uint8 feature encoding ('-'=0 pad, ' '=1, 'a'..'z'=2..27,
@@ -63,6 +64,9 @@ def transform_title(title: str, max_characters: int | None = None, n_grams: int 
     text = unicodedata.normalize("NFD", title)
     text = text.encode("ascii", "ignore").decode("utf-8").lower().replace("-", " ")
     text = _KEEP_RE.sub("", text)
+    # all whitespace becomes plain spaces before collapsing (the reference
+    # keeps \t etc. and would crash in its char encoder; documented deviation)
+    text = _WS_RE.sub(" ", text)
     text = _SPACES_RE.sub(" ", text).strip()
     n_chars = len(text)
     text = text[:max_characters].strip()
