@@ -527,17 +527,42 @@ def train_gbt(
     best_round = 0
     best_err = np.inf
     rounds_done = 0
+    # host-side margin checkpoints: the TPU worker behind a tunnel can crash
+    # under sustained load (observed); each segment is retryable from the
+    # last checkpoint (checkpoint/resume per SURVEY.md §5)
+    m_host = np.asarray(m)
+    me_host = np.asarray(me)
     while rounds_done < p.num_boost_round:
         n_rounds = min(scan_chunk, p.num_boost_round - rounds_done)
-        outs = _boost_scan(
-            bins_d, y_d, bins_e_d, y_e_d, m, me,
-            depth=p.depth, n_rounds=n_rounds, eta=p.eta, beta=p.beta,
-            threshold=p.threshold, lambda_=p.lambda_,
-            min_child_weight=p.min_child_weight, base_margin=base_margin,
-        )
-        m, me = outs[7], outs[8]
-        chunk_arrays = tuple(np.asarray(o) for o in outs[:5])
-        e_tr, e_ev = np.asarray(outs[5]), np.asarray(outs[6])
+        for attempt in range(3):
+            try:
+                outs = _boost_scan(
+                    bins_d, y_d, bins_e_d, y_e_d, m, me,
+                    depth=p.depth, n_rounds=n_rounds, eta=p.eta, beta=p.beta,
+                    threshold=p.threshold, lambda_=p.lambda_,
+                    min_child_weight=p.min_child_weight, base_margin=base_margin,
+                )
+                chunk_arrays = tuple(np.asarray(o) for o in outs[:5])
+                e_tr, e_ev = np.asarray(outs[5]), np.asarray(outs[6])
+                m, me = outs[7], outs[8]
+                m_host, me_host = np.asarray(m), np.asarray(me)
+                break
+            except Exception as exc:  # pragma: no cover - runtime fault path
+                if attempt == 2:
+                    raise
+                LOGGER.warning(
+                    "device fault during boosting segment (%s); retrying "
+                    "from round %d", exc, rounds_done,
+                )
+                import time as _time
+
+                _time.sleep(10.0)
+                bins_d = jnp.asarray(Xb)
+                y_d = jnp.asarray(y.astype(np.float32))
+                bins_e_d = jnp.asarray(Xe)
+                y_e_d = jnp.asarray(y_eval_np)
+                m = jnp.asarray(m_host)
+                me = jnp.asarray(me_host)
         chunks.append(chunk_arrays)
         err_train_l.append(e_tr)
         err_eval_l.append(e_ev)
