@@ -90,6 +90,8 @@ class Config:
     score_dtype: str = "bfloat16"
     # sliding-window DP backend: "auto" → pallas on TPU, xla elsewhere
     window_impl: str = "auto"
+    # retrieval scoring backend: "auto" → pallas on TPU, xla elsewhere
+    retrieval_impl: str = "auto"
     # queries scored per device step (rows of the MXU matmul)
     query_block: int = 128
     # max unique trigrams considered per query (titles have <=253 trigrams;

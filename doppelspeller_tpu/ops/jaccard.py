@@ -190,6 +190,17 @@ class JaccardScorer:
         self.sums_d = jax.device_put(index.sums, device)
         self.nt_d = jnp.int32(index.num_titles)
         self.score_dtype = getattr(self.cfg, "score_dtype", "float32")
+        impl = getattr(self.cfg, "retrieval_impl", "auto")
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() != "cpu" else "xla"
+        self.impl = impl
+        self._pallas_tb = 2048 if index.padded_titles % 2048 == 0 else self.cfg.title_block
+        if impl.startswith("pallas"):
+            from doppelspeller_tpu.ops.jaccard_pallas import permute_sums
+
+            self.sums_perm_d = jax.device_put(
+                permute_sums(index.sums, self._pallas_tb), device
+            )
 
     def topk(
         self,
@@ -218,20 +229,38 @@ class JaccardScorer:
             row_of[int(r)] = j
         # dispatch every block first (async), fetch afterwards — the device
         # streams through blocks while the host prepares/fetches others
+        use_pallas = self.impl.startswith("pallas")
+        if use_pallas:
+            from doppelspeller_tpu.ops.jaccard_pallas import jaccard_topk_pallas
         pending = []
         for plan in plans:
-            outs = jaccard_topk_kernel(
-                self.packed_d,
-                self.sums_d,
-                jnp.asarray(plan.union_ids),
-                jnp.asarray(plan.w_pos),
-                jnp.asarray(plan.w_val),
-                jnp.asarray(plan.max_intersection),
-                self.nt_d,
-                k=k,
-                title_block=self.cfg.title_block,
-                score_dtype=self.score_dtype,
-            )
+            if use_pallas:
+                outs = jaccard_topk_pallas(
+                    self.packed_d,
+                    self.sums_perm_d,
+                    jnp.asarray(plan.union_ids),
+                    jnp.asarray(plan.w_pos),
+                    jnp.asarray(plan.w_val),
+                    jnp.asarray(plan.max_intersection),
+                    self.nt_d,
+                    k=k,
+                    tb=self._pallas_tb,
+                    score_dtype=self.score_dtype,
+                    interpret=(self.impl == "pallas_interpret"),
+                )
+            else:
+                outs = jaccard_topk_kernel(
+                    self.packed_d,
+                    self.sums_d,
+                    jnp.asarray(plan.union_ids),
+                    jnp.asarray(plan.w_pos),
+                    jnp.asarray(plan.w_val),
+                    jnp.asarray(plan.max_intersection),
+                    self.nt_d,
+                    k=k,
+                    title_block=self.cfg.title_block,
+                    score_dtype=self.score_dtype,
+                )
             pending.append((plan, outs))
         for plan, (vals, idxs) in pending:
             vals = np.asarray(vals[: plan.n_valid])

@@ -1,0 +1,146 @@
+"""Pallas TPU kernel for the jaccard scoring matmul.
+
+The XLA path (ops/jaccard.py) unpacks the gathered bit rows to a bf16 matrix
+in HBM before the MXU matmul — 24× the bit-data in write+read traffic.  Here
+each grid step unpacks one (U-chunk × title-tile) block *in VMEM* and feeds
+the MXU directly, so HBM sees only the packed bytes once plus the score
+output.
+
+Bit→lane mapping: `pltpu.repeat` tiles whole copies, so a byte-block
+(UC, TB/8) repeated 8× puts byte b of copy s at column c = s·(TB/8) + b.
+Extracting bit s of that byte makes column c carry title
+t = 8·(c mod TB/8) + c÷(TB/8) — a fixed per-tile permutation π.  The kernel
+computes global title positions through π for the validity mask, the caller
+permutes `sums` once at init and un-permutes the top-k indices.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def permute_sums(sums: np.ndarray, tb: int) -> np.ndarray:
+    """Host-side: reorder per-title IDF sums into the kernel's π layout."""
+    ntp = sums.shape[0]
+    assert ntp % tb == 0
+    nb = tb // 8
+    c = np.arange(tb)
+    pi = 8 * (c % nb) + c // nb
+    return sums.reshape(-1, tb)[:, pi].reshape(-1)
+
+
+def unpermute_positions(idx: np.ndarray | jnp.ndarray, tb: int):
+    """Map score-column indices back to title positions (inverse of π)."""
+    nb = tb // 8
+    blk = idx // tb
+    c = idx % tb
+    return blk * tb + 8 * (c % nb) + c // nb
+
+
+def _score_kernel(
+    w_ref,        # (QB, U) score-dtype weights
+    rows_ref,     # (U, TB//8) u8 — this tile's packed columns
+    sums_ref,     # (1, TB) f32 — π-permuted idf sums for this tile
+    maxint_ref,   # (QB, 1) f32
+    nt_ref,       # (1, 1) i32 in SMEM
+    out_ref,      # (QB, TB) f32 jaccard scores (π-permuted)
+    *, uc: int, score_dtype,
+):
+    QB, U = w_ref.shape
+    TB = out_ref.shape[1]
+    nb = TB // 8
+    tile = pl.program_id(0)
+    nt = nt_ref[0, 0]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, TB), 1)
+    shift = (col // nb).astype(jnp.int32)                 # bit index per column
+
+    acc = jnp.zeros((QB, TB), jnp.float32)
+    for u0 in range(0, U, uc):
+        blk = rows_ref[u0 : u0 + uc, :]                   # (uc, TB//8) u8
+        rep = pltpu.repeat(blk, 8, axis=1).astype(jnp.int32)   # (uc, TB)
+        bits = ((rep >> shift) & 1).astype(score_dtype)
+        acc = acc + jax.lax.dot_general(
+            w_ref[:, u0 : u0 + uc], bits,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    sums = sums_ref[:]                                    # (1, TB)
+    maxint = maxint_ref[:]                                # (QB, 1)
+    denom = sums + maxint - acc
+    jacc = acc / jnp.maximum(denom, 1e-9)
+    tpos = tile * TB + 8 * (col % nb) + col // nb
+    out_ref[:, :] = jnp.where(tpos < nt, jacc, -1.0)
+
+
+@partial(jax.jit, static_argnames=("k", "tb", "uc", "score_dtype", "interpret"))
+def jaccard_topk_pallas(
+    packed: jnp.ndarray,      # uint8[V, ntp//8]
+    sums_perm: jnp.ndarray,   # float32[ntp] — π-permuted
+    union_ids: jnp.ndarray,   # int32[U]
+    w_pos: jnp.ndarray,       # int32[QB, LQ]
+    w_val: jnp.ndarray,       # float32[QB, LQ]
+    maxint: jnp.ndarray,      # float32[QB]
+    nt: jnp.ndarray,          # int32 scalar
+    *,
+    k: int,
+    tb: int = 2048,
+    uc: int = 256,
+    score_dtype: str = "bfloat16",
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused retrieval step.  Returns (scores f32[QB, k], positions i32[QB, k])."""
+    from doppelspeller_tpu.ops.jaccard import densify_weights
+
+    dtype = jnp.dtype(score_dtype)
+    U = union_ids.shape[0]
+    QB = w_pos.shape[0]
+    uc = min(uc, U)
+    rows = packed[union_ids]                              # (U, ntp//8)
+    ntp = rows.shape[1] * 8
+    if ntp % tb:
+        raise ValueError(f"padded title count {ntp} not divisible by tile {tb}")
+    n_tiles = ntp // tb
+    w = densify_weights(w_pos, w_val, U, dtype)
+
+    jacc = pl.pallas_call(
+        partial(_score_kernel, uc=uc, score_dtype=dtype),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((QB, U), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, tb // 8), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((QB, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((QB, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((QB, ntp), jnp.float32),
+        interpret=interpret,
+    )(
+        w,
+        rows,
+        sums_perm.reshape(1, ntp),
+        maxint.reshape(QB, 1),
+        nt.reshape(1, 1),
+    )
+
+    # blockwise top-k + merge (π un-permuted)
+    merge_tb = 32768 if ntp % 32768 == 0 else tb
+    nblk = ntp // merge_tb
+    v = jacc.reshape(QB, nblk, merge_tb)
+    vals, idx = jax.lax.top_k(v, k)                       # (QB, nblk, k)
+    gidx = idx + (jnp.arange(nblk, dtype=jnp.int32) * merge_tb)[None, :, None]
+    tpos = unpermute_positions(gidx, tb)
+    flat_v = vals.reshape(QB, nblk * k)
+    flat_p = tpos.reshape(QB, nblk * k)
+    mv, sel = jax.lax.top_k(flat_v, k)
+    mp = jnp.take_along_axis(flat_p, sel, axis=1)
+    return mv, mp.astype(jnp.int32)

@@ -1,0 +1,87 @@
+"""Pallas retrieval kernel parity vs the XLA path (interpret mode on CPU)."""
+
+import random
+import string
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from doppelspeller_tpu.config import Config
+from doppelspeller_tpu.ops.jaccard import JaccardScorer, jaccard_topk_kernel
+from doppelspeller_tpu.ops.jaccard_pallas import (
+    jaccard_topk_pallas,
+    permute_sums,
+    unpermute_positions,
+)
+from doppelspeller_tpu.ops.ngram_index import build_truth_index, plan_query_blocks
+from doppelspeller_tpu.utils.io import TitleSet
+
+
+def _titles(n, rng):
+    alphabet = string.ascii_lowercase + "  01"
+    return [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(5, 30))).strip() or "abc"
+        for _ in range(n)
+    ]
+
+
+def test_permutation_roundtrip():
+    tb = 128
+    sums = np.arange(512, dtype=np.float32)
+    perm = permute_sums(sums, tb)
+    idx = np.arange(512)
+    np.testing.assert_array_equal(perm[idx], sums[unpermute_positions(idx, tb)])
+
+
+def test_pallas_topk_matches_xla():
+    rng = random.Random(3)
+    cfg = Config(data_path="/tmp/x", title_block=128, query_block=8,
+                 score_dtype="float32")
+    truth = TitleSet.from_titles(_titles(500, rng), config=cfg)
+    queries = TitleSet.from_titles(_titles(17, rng) + [truth.transformed[9]], config=cfg)
+    index = build_truth_index(truth, cfg)
+    plans = plan_query_blocks(queries, index, cfg)
+    k = 12
+    tb = 128
+    sums_perm = jnp.asarray(permute_sums(index.sums, tb))
+    for plan in plans:
+        v1, p1 = jaccard_topk_kernel(
+            jnp.asarray(index.packed), jnp.asarray(index.sums),
+            jnp.asarray(plan.union_ids), jnp.asarray(plan.w_pos),
+            jnp.asarray(plan.w_val), jnp.asarray(plan.max_intersection),
+            jnp.int32(index.num_titles),
+            k=k, title_block=cfg.title_block, score_dtype="float32",
+        )
+        v2, p2 = jaccard_topk_pallas(
+            jnp.asarray(index.packed), sums_perm,
+            jnp.asarray(plan.union_ids), jnp.asarray(plan.w_pos),
+            jnp.asarray(plan.w_val), jnp.asarray(plan.max_intersection),
+            jnp.int32(index.num_titles),
+            k=k, tb=tb, score_dtype="float32", interpret=True,
+        )
+        n = plan.n_valid
+        np.testing.assert_allclose(np.asarray(v1)[:n], np.asarray(v2)[:n],
+                                   rtol=1e-5, atol=1e-6)
+        # positions equal wherever scores are untied
+        v1n = np.asarray(v1)[:n]
+        ties = np.zeros_like(v1n, dtype=bool)
+        ties[:, 1:] |= v1n[:, 1:] == v1n[:, :-1]
+        ties[:, :-1] |= ties[:, 1:]
+        same = np.asarray(p1)[:n] == np.asarray(p2)[:n]
+        assert (same | ties).all()
+
+
+def test_scorer_uses_pallas_impl():
+    rng = random.Random(5)
+    cfg = Config(data_path="/tmp/x", title_block=128, query_block=8,
+                 score_dtype="float32", retrieval_impl="pallas_interpret")
+    truth = TitleSet.from_titles(_titles(300, rng), config=cfg)
+    queries = TitleSet.from_titles(_titles(9, rng), config=cfg)
+    index = build_truth_index(truth, cfg)
+    scorer_p = JaccardScorer(index, cfg)
+    scorer_x = JaccardScorer(index, cfg.with_(retrieval_impl="xla"))
+    s1, _ = scorer_p.topk(queries, k=10)
+    s2, _ = scorer_x.topk(queries, k=10)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-6)
