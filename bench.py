@@ -148,8 +148,9 @@ def main():
     t_train = time.time() - t0
     print(f"# model train: {t_train:.1f}s ({model.num_trees} trees)", file=sys.stderr)
 
+    # a fresh Matcher re-device_puts everything: if the TPU worker restarted
+    # during training, pre-existing device buffers are gone
     matcher = Matcher(cfg, truth=truth, index=index, model=model)
-    matcher.scorer = scorer
 
     # warmup on a copy of the first queries (compile all kernels)
     from doppelspeller_tpu.utils.io import TitleSet as _TS

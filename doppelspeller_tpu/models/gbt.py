@@ -512,7 +512,7 @@ def train_gbt(
     Xe = bin_features(X_eval, edges)
     y_eval_np = y_eval.astype(np.float32)
 
-    scan_chunk = min(100, p.num_boost_round)
+    scan_chunk = min(50, p.num_boost_round)
     base_margin = _logit(p.base_score)
     bins_d = jnp.asarray(Xb)
     y_d = jnp.asarray(y.astype(np.float32))
@@ -534,7 +534,7 @@ def train_gbt(
     me_host = np.asarray(me)
     while rounds_done < p.num_boost_round:
         n_rounds = min(scan_chunk, p.num_boost_round - rounds_done)
-        for attempt in range(3):
+        for attempt in range(4):
             try:
                 outs = _boost_scan(
                     bins_d, y_d, bins_e_d, y_e_d, m, me,
@@ -548,7 +548,7 @@ def train_gbt(
                 m_host, me_host = np.asarray(m), np.asarray(me)
                 break
             except Exception as exc:  # pragma: no cover - runtime fault path
-                if attempt == 2:
+                if attempt == 3:
                     raise
                 LOGGER.warning(
                     "device fault during boosting segment (%s); retrying "
@@ -556,7 +556,7 @@ def train_gbt(
                 )
                 import time as _time
 
-                _time.sleep(10.0)
+                _time.sleep(75.0)  # a crashed TPU worker takes ~1-2 min to return
                 bins_d = jnp.asarray(Xb)
                 y_d = jnp.asarray(y.astype(np.float32))
                 bins_e_d = jnp.asarray(Xe)
