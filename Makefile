@@ -1,0 +1,32 @@
+# Developer entry points (reference parity: Makefile:1-40, minus Docker —
+# the TPU build runs directly on the host attached to the chip).
+
+PYTHON ?= python
+
+.PHONY: test lint stage-example-data build-index train-model \
+        generate-predictions closest-search get-predictions-accuracy bench
+
+test:
+	$(PYTHON) -m pytest tests/ -q
+
+stage-example-data:
+	$(PYTHON) -m doppelspeller_tpu.cli stage-example-data-set
+
+build-index:
+	$(PYTHON) -m doppelspeller_tpu.cli -vv build-index
+
+train-model:
+	$(PYTHON) -m doppelspeller_tpu.cli -vv train-model
+
+generate-predictions:
+	$(PYTHON) -m doppelspeller_tpu.cli -vv generate-predictions
+
+# usage: make closest-search title="SOME TITLE"
+closest-search:
+	$(PYTHON) -m doppelspeller_tpu.cli -vv closest-search-single-title -t "$(title)"
+
+get-predictions-accuracy:
+	$(PYTHON) -m doppelspeller_tpu.cli -vv get-predictions-accuracy
+
+bench:
+	$(PYTHON) bench.py
