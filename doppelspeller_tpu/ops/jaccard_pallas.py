@@ -45,40 +45,48 @@ def unpermute_positions(idx: np.ndarray | jnp.ndarray, tb: int):
 
 
 def _score_kernel(
-    w_ref,        # (QB, U) score-dtype weights
-    rows_ref,     # (U, TB//8) u8 — this tile's packed columns
+    w_ref,        # (QB, UC) score-dtype weights — this u-chunk's columns
+    rows_ref,     # (UC, TB//8) u8 — this (u-chunk × title-tile) packed block
     sums_ref,     # (1, TB) f32 — π-permuted idf sums for this tile
     maxint_ref,   # (QB, 1) f32
     nt_ref,       # (1, 1) i32 in SMEM
-    out_ref,      # (QB, TB) f32 jaccard scores (π-permuted)
-    *, uc: int, score_dtype,
+    out_ref,      # (QB, TB) f32 jaccard scores (π-permuted); revisited
+                  #   across the u-chunk grid axis → accumulates in VMEM
+    *, score_dtype,
 ):
-    QB, U = w_ref.shape
     TB = out_ref.shape[1]
     nb = TB // 8
     tile = pl.program_id(0)
-    nt = nt_ref[0, 0]
+    j = pl.program_id(1)
+    n_uc = pl.num_programs(1)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (1, TB), 1)
     shift = (col // nb).astype(jnp.int32)                 # bit index per column
 
-    acc = jnp.zeros((QB, TB), jnp.float32)
-    for u0 in range(0, U, uc):
-        blk = rows_ref[u0 : u0 + uc, :]                   # (uc, TB//8) u8
-        rep = pltpu.repeat(blk, 8, axis=1).astype(jnp.int32)   # (uc, TB)
-        bits = ((rep >> shift) & 1).astype(score_dtype)
-        acc = acc + jax.lax.dot_general(
-            w_ref[:, u0 : u0 + uc], bits,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    rep = pltpu.repeat(rows_ref[:], 8, axis=1).astype(jnp.int32)   # (UC, TB)
+    bits = ((rep >> shift) & 1).astype(score_dtype)
+    part = jax.lax.dot_general(
+        w_ref[:], bits,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
-    sums = sums_ref[:]                                    # (1, TB)
-    maxint = maxint_ref[:]                                # (QB, 1)
-    denom = sums + maxint - acc
-    jacc = acc / jnp.maximum(denom, 1e-9)
-    tpos = tile * TB + 8 * (col % nb) + col // nb
-    out_ref[:, :] = jnp.where(tpos < nt, jacc, -1.0)
+    @pl.when(j == 0)
+    def _():
+        out_ref[:, :] = part
+
+    @pl.when(j > 0)
+    def _():
+        out_ref[:, :] = out_ref[:, :] + part
+
+    @pl.when(j == n_uc - 1)
+    def _():
+        acc = out_ref[:, :]
+        nt = nt_ref[0, 0]
+        denom = sums_ref[:] + maxint_ref[:] - acc
+        jacc = acc / jnp.maximum(denom, 1e-9)
+        tpos = tile * TB + 8 * (col % nb) + col // nb
+        out_ref[:, :] = jnp.where(tpos < nt, jacc, -1.0)
 
 
 @partial(jax.jit, static_argnames=("k", "tb", "uc", "score_dtype", "interpret"))
@@ -104,6 +112,8 @@ def jaccard_topk_pallas(
     U = union_ids.shape[0]
     QB = w_pos.shape[0]
     uc = min(uc, U)
+    if U % uc:
+        uc = U  # static fallback: one chunk (U is always qb·32, a power of 2)
     rows = packed[union_ids]                              # (U, ntp//8)
     ntp = rows.shape[1] * 8
     if ntp % tb:
@@ -111,17 +121,20 @@ def jaccard_topk_pallas(
     n_tiles = ntp // tb
     w = densify_weights(w_pos, w_val, U, dtype)
 
+    n_uc = U // uc
     jacc = pl.pallas_call(
-        partial(_score_kernel, uc=uc, score_dtype=dtype),
-        grid=(n_tiles,),
+        partial(_score_kernel, score_dtype=dtype),
+        grid=(n_tiles, n_uc),
         in_specs=[
-            pl.BlockSpec((QB, U), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((U, tb // 8), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((QB, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((QB, uc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((uc, tb // 8), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((QB, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((QB, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (QB, tb), lambda i, j: (0, i), memory_space=pltpu.VMEM
+        ),
         out_shape=jax.ShapeDtypeStruct((QB, ntp), jnp.float32),
         interpret=interpret,
     )(
