@@ -18,6 +18,7 @@ reported separately but not part of the headline number (the reference's
 """
 
 import json
+import logging
 import os
 import random
 import string
@@ -25,6 +26,11 @@ import sys
 import time
 
 import numpy as np
+
+logging.basicConfig(
+    stream=sys.stderr, level=logging.INFO,
+    format="# [%(asctime)s] %(name)s %(message)s",
+)
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -160,11 +166,15 @@ def main():
 
     matcher = Matcher(cfg, truth=truth, index=index, model=model)
 
-    # warmup on a copy of the first queries (compile all kernels)
+    # warmup: a stratified sample so every (length, word-length) bucket's
+    # program compiles before the timed run
     from doppelspeller_tpu.utils.io import TitleSet as _TS
 
-    warm = _TS.from_titles(queries.titles[:256], config=cfg)
+    stride = max(len(queries.titles) // 2048, 1)
+    warm = _TS.from_titles(queries.titles[::stride][:2048], config=cfg)
+    t0 = time.time()
     matcher.predict(warm)
+    print(f"# warmup: {time.time()-t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()
     result = matcher.predict(queries)

@@ -296,6 +296,8 @@ class Matcher:
     # -------------------------------------------------------------- entry
 
     def predict(self, queries: TitleSet, single: bool = False) -> PredictionResult:
+        import time as _time
+
         cfg = self.cfg
         if single and len(queries) != 1:
             raise ValueError("single prediction requires exactly one query")
@@ -309,16 +311,26 @@ class Matcher:
             match_transformed=[None] * n,
         )
 
+        t0 = _time.time()
         self._stage_exact(queries, res)
+        t1 = _time.time()
 
         rem = np.flatnonzero(res.stage == STAGE_NONE)
+        t2 = t3 = t4 = t1
         if len(rem):
             _, cand_pos = self.scorer.topk(queries, k=cfg.top_n_predicting, rows=rem)
+            t2 = _time.time()
             self._stage_fuzzy(queries, rem, cand_pos, res)
+            t3 = _time.time()
             still = res.stage[rem] == STAGE_NONE
             rem2 = rem[still]
             if len(rem2) and (not single or res.stage[0] == STAGE_NONE):
                 self._stage_model(queries, rem2, cand_pos[still], res, single)
+            t4 = _time.time()
+        LOGGER.info(
+            "stage timing: exact %.2fs | retrieval %.2fs | fuzzy %.2fs | model %.2fs",
+            t1 - t0, t2 - t1, t3 - t2, t4 - t3,
+        )
 
         LOGGER.info(
             "Matched %d/%d titles (exact %d, fuzzy %d, model %d)",
