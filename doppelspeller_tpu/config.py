@@ -92,6 +92,10 @@ class Config:
     window_impl: str = "auto"
     # retrieval scoring backend: "auto" → pallas on TPU, xla elsewhere
     retrieval_impl: str = "auto"
+    # top-k selection: <1.0 uses TPU-optimized lax.approx_max_k with this
+    # per-query recall target (≈7x faster than exact top_k at 500K titles);
+    # 1.0 = exact
+    topk_recall_target: float = 0.99
     # queries scored per device step (rows of the MXU matmul)
     query_block: int = 128
     # max unique trigrams considered per query (titles have <=253 trigrams;

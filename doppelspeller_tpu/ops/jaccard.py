@@ -247,6 +247,7 @@ class JaccardScorer:
                     tb=self._pallas_tb,
                     score_dtype=self.score_dtype,
                     interpret=(self.impl == "pallas_interpret"),
+                    recall_target=getattr(self.cfg, "topk_recall_target", 1.0),
                 )
             else:
                 outs = jaccard_topk_kernel(

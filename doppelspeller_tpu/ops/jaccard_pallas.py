@@ -89,7 +89,8 @@ def _score_kernel(
         out_ref[:, :] = jnp.where(tpos < nt, jacc, -1.0)
 
 
-@partial(jax.jit, static_argnames=("k", "tb", "uc", "score_dtype", "interpret"))
+@partial(jax.jit, static_argnames=("k", "tb", "uc", "score_dtype", "interpret",
+                                   "recall_target"))
 def jaccard_topk_pallas(
     packed: jnp.ndarray,      # uint8[V, ntp//8]
     sums_perm: jnp.ndarray,   # float32[ntp] — π-permuted
@@ -104,6 +105,7 @@ def jaccard_topk_pallas(
     uc: int = 256,
     score_dtype: str = "bfloat16",
     interpret: bool = False,
+    recall_target: float = 1.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused retrieval step.  Returns (scores f32[QB, k], positions i32[QB, k])."""
     from doppelspeller_tpu.ops.jaccard import densify_weights
@@ -145,7 +147,13 @@ def jaccard_topk_pallas(
         nt.reshape(1, 1),
     )
 
-    # blockwise top-k + merge (π un-permuted)
+    if recall_target < 1.0:
+        # TPU-optimized approximate top-k (~7x faster than exact at 500K)
+        mv, gidx = jax.lax.approx_max_k(jacc, k, recall_target=recall_target)
+        mp = unpermute_positions(gidx.astype(jnp.int32), tb)
+        return mv, mp.astype(jnp.int32)
+
+    # exact: blockwise top-k + merge (π un-permuted)
     merge_tb = 32768 if ntp % 32768 == 0 else tb
     nblk = ntp // merge_tb
     v = jacc.reshape(QB, nblk, merge_tb)
