@@ -97,7 +97,7 @@ class Config:
     # 1.0 = exact
     topk_recall_target: float = 0.99
     # queries scored per device step (rows of the MXU matmul)
-    query_block: int = 128
+    query_block: int = 256
     # max unique trigrams considered per query (titles have <=253 trigrams;
     # company-style names have ~15-40 — overflowing trigrams are dropped from
     # scoring but still counted in the union term, keeping scores conservative)
@@ -105,7 +105,7 @@ class Config:
     # truth titles per inner matmul tile
     title_block: int = 32768
     # batched pair block for levenshtein/feature kernels
-    pair_block: int = 4096
+    pair_block: int = 8192
     # length buckets for DP kernels
     length_buckets: Tuple[int, ...] = (32, 64, 128, 256)
     # mesh axis name used by the sharded index
