@@ -37,6 +37,12 @@ def cli(verbose):
         stream=sys.stdout, level=level,
         format="[%(asctime)s]%(levelname)s|%(name)s|%(message)s",
     )
+    if os.environ.get("DOPPEL_DEBUG_NANS"):
+        # NaN debugging for the functional kernels (SURVEY.md §5 — replaces
+        # the reference's fastmath/errstate suppression with a fail-fast mode)
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
 
 
 @cli.command()

@@ -24,6 +24,7 @@ per-row candidate loops.
 from __future__ import annotations
 
 import logging
+import os
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
@@ -101,9 +102,24 @@ class Matcher:
         truth: Optional[TitleSet] = None,
         index: Optional[TruthIndex] = None,
         model: Optional[GBTModel] = None,
+        use_index_checkpoint: bool = True,
     ):
         self.cfg = config or get_config()
         self.truth = truth or load_ground_truth(self.cfg)
+        if index is None and use_index_checkpoint and os.path.exists(self.cfg.index_path):
+            # resume from the checkpointed index (cli.py build-index) — the
+            # reference rebuilds its MatchMaker from CSV on every run
+            loaded = TruthIndex.load(self.cfg.index_path)
+            if loaded.num_titles == len(self.truth) and np.array_equal(
+                loaded.title_ids, self.truth.ids
+            ):
+                LOGGER.info("loaded index checkpoint from %s", self.cfg.index_path)
+                index = loaded
+            else:
+                LOGGER.warning(
+                    "index checkpoint at %s does not match the truth data; rebuilding",
+                    self.cfg.index_path,
+                )
         self.index = index or build_truth_index(self.truth, self.cfg)
         self.scorer = JaccardScorer(self.index, self.cfg)
         self.model = model
