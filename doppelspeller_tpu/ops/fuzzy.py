@@ -94,12 +94,13 @@ class FuzzyEngine:
         ])
         buckets = [b for b in cfg.length_buckets if b < q_enc.shape[1]] + [q_enc.shape[1]]
         bi = np.searchsorted(np.asarray(buckets), pair_len)
-        chunk = cfg.pair_block
         pending = []
         for i, tl in enumerate(buckets):
             sel = np.flatnonzero(bi == i)
             if len(sel) == 0:
                 continue
+            # bound the bit-parallel kernel's (B, Lb, La) match-mask tensor
+            chunk = int(np.clip((1 << 25) // (tl * tl), 64, cfg.pair_block))
             for s in range(0, len(sel), chunk):
                 idx = sel[s : s + chunk]
                 m = len(idx)

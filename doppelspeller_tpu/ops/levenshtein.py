@@ -36,12 +36,79 @@ _BUCKETS = (32, 64, 128, 256)
 
 @jax.jit
 def lcs_kernel(a: jnp.ndarray, la: jnp.ndarray, b: jnp.ndarray, lb: jnp.ndarray) -> jnp.ndarray:
-    """LCS length for each pair.
+    """LCS length for each pair — bit-parallel CIP over uint32 words.
 
     a: uint8[B, La] (zero-padded), la: int32[B]; likewise b/lb.
-    Returns int32[B].  Positions ≥ length are masked out of the match
-    predicate, so padding never contributes.
+    Returns int32[B].  The DP column over `a`'s positions is packed into
+    ⌈La/32⌉ uint32 words; one update per `b` char with explicit carry/borrow
+    chains across words:  U = V & M[c];  V = ((V+U) | (V−U)) & mask.
     """
+    B, La = a.shape
+    Lb = b.shape[1]
+    n_words = (La + 31) // 32
+    if La % 32:  # pad the bit axis to whole words
+        a = jnp.concatenate(
+            [a, jnp.zeros((B, n_words * 32 - La), a.dtype)], axis=1
+        )
+        La = n_words * 32
+
+    pos = jnp.arange(La, dtype=jnp.int32)
+    a_valid = (pos[None, :] < la[:, None]) & (a > 0)
+    b_pos = jnp.arange(Lb, dtype=jnp.int32)
+    b_valid = (b_pos[None, :] < lb[:, None]) & (b > 0)
+
+    # match masks: M[b_i, j, w] = bits i (within word w) where a[b_i,i]==b[b_i,j]
+    eq = (a[:, None, :] == b[:, :, None]) & a_valid[:, None, :] & b_valid[:, :, None]
+    pow2 = (jnp.uint32(1) << (pos % 32).astype(jnp.uint32))  # (La,)
+    eq_w = eq.astype(jnp.uint32) * pow2[None, None, :]
+    M = eq_w.reshape(B, Lb, n_words, -1).sum(axis=3, dtype=jnp.uint32)  # (B,Lb,W)
+
+    word_pos = pos.reshape(n_words, -1)
+    mask_a = (
+        ((word_pos[None, :, :] < la[:, None, None]).astype(jnp.uint32)
+         * pow2.reshape(1, n_words, -1)).sum(axis=2, dtype=jnp.uint32)
+    )                                                       # (B, n_words)
+
+    def step(V, M_j):
+        U = [V[k] & M_j[:, k] for k in range(n_words)]
+        # V + U with carry chain
+        S = []
+        carry = jnp.zeros((B,), jnp.uint32)
+        for k in range(n_words):
+            s1 = V[k] + U[k]
+            c1 = (s1 < V[k]).astype(jnp.uint32)
+            s2 = s1 + carry
+            c2 = (s2 < s1).astype(jnp.uint32)
+            S.append(s2)
+            carry = c1 | c2
+        # V − U with borrow chain
+        D = []
+        borrow = jnp.zeros((B,), jnp.uint32)
+        for k in range(n_words):
+            d1 = V[k] - U[k]
+            b1 = (V[k] < U[k]).astype(jnp.uint32)
+            d2 = d1 - borrow
+            b2 = (d1 < borrow).astype(jnp.uint32)
+            D.append(d2)
+            borrow = b1 | b2
+        newV = [(S[k] | D[k]) & mask_a[:, k] for k in range(n_words)]
+        return tuple(newV), None
+
+    V0 = tuple(mask_a[:, k] for k in range(n_words))
+    V, _ = jax.lax.scan(step, V0, jnp.moveaxis(M, 1, 0))   # scan over b chars
+    zeros = sum(
+        jax.lax.population_count(V[k]).astype(jnp.int32) for k in range(n_words)
+    )
+    # LCS = |a| − #ones(V): V starts at mask (popcount la) and loses one bit
+    # per matched char
+    la_eff = jnp.minimum(la, La)
+    return la_eff - zeros
+
+
+@jax.jit
+def lcs_kernel_scan(a: jnp.ndarray, la: jnp.ndarray, b: jnp.ndarray, lb: jnp.ndarray) -> jnp.ndarray:
+    """Reference formulation: LCS via cummax row scan (used by tests to
+    cross-check the bit-parallel kernel)."""
     B, La = a.shape
     Lb = b.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, (B, Lb), 1)
@@ -100,13 +167,14 @@ def batched_ratio(
     out = np.zeros(n, dtype=np.float32)
     pair_len = np.maximum(len_a, len_b)
     buckets = [b for b in cfg.length_buckets if b < enc_a.shape[1]] + [enc_a.shape[1]]
-    chunk = cfg.pair_block
     bucket_idx = np.searchsorted(np.asarray(buckets), pair_len)
     pending = []
     for bi, bkt in enumerate(buckets):
         sel = np.flatnonzero(bucket_idx == bi)
         if len(sel) == 0:
             continue
+        # bound the (B, Lb, La) match-mask tensor of the bit-parallel kernel
+        chunk = int(np.clip((1 << 25) // (bkt * bkt), 64, cfg.pair_block))
         for start in range(0, len(sel), chunk):
             idx = sel[start : start + chunk]
             m = len(idx)

@@ -114,3 +114,23 @@ def test_rounding_is_bankers():
     a, la, b, lb = _encode_pairs(pairs)
     got = ratio_rounded(a, la, b, lb, Config(data_path="/tmp/x", pair_block=8))
     assert got[0] == 62
+
+
+def test_bitparallel_matches_scan_kernel():
+    import jax.numpy as jnp
+    from doppelspeller_tpu.ops.levenshtein import lcs_kernel, lcs_kernel_scan
+
+    rng = random.Random(99)
+    alphabet = string.ascii_lowercase[:9] + " 012"
+    pairs = []
+    for _ in range(150):
+        la = rng.randint(1, 250)
+        lb = rng.randint(1, 250)
+        pairs.append((
+            "".join(rng.choice(alphabet) for _ in range(la)).strip() or "a",
+            "".join(rng.choice(alphabet) for _ in range(lb)).strip() or "b",
+        ))
+    a, la, b, lb = _encode_pairs(pairs, width=255)
+    got = np.asarray(lcs_kernel(jnp.asarray(a), jnp.asarray(la), jnp.asarray(b), jnp.asarray(lb)))
+    want = np.asarray(lcs_kernel_scan(jnp.asarray(a), jnp.asarray(la), jnp.asarray(b), jnp.asarray(lb)))
+    np.testing.assert_array_equal(got, want)
