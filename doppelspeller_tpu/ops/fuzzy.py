@@ -28,9 +28,11 @@ LOGGER = logging.getLogger(__name__)
 def _fuzzy_kernel(
     q_enc, q_len, q_ts, q_ts_len,      # query-side device arrays (per call)
     t_enc, t_len, t_ts, t_ts_len,      # truth-side device arrays (resident)
-    pair_q, pair_t,
+    pairs,                             # (2, B) int32: one transfer per chunk
     *, tl: int, threshold: int,
 ):
+    pair_q = pairs[0]
+    pair_t = pairs[1]
     """Rounded final ratio per pair: plain ratio if > threshold else
     token-sort ratio (banker's rounding, reference common.py:161-167)."""
 
@@ -104,14 +106,13 @@ class FuzzyEngine:
             for s in range(0, len(sel), chunk):
                 idx = sel[s : s + chunk]
                 m = len(idx)
-                pq = np.zeros(chunk, np.int32)
-                pt = np.zeros(chunk, np.int32)
-                pq[:m] = pair_q[idx]
-                pt[:m] = pair_t[idx]
+                prs = np.zeros((2, chunk), np.int32)
+                prs[0, :m] = pair_q[idx]
+                prs[1, :m] = pair_t[idx]
                 r = _fuzzy_kernel(
                     q_enc_d, q_len_d, q_ts_d, q_ts_len_d,
                     self.t_enc, self.t_len, self.t_ts, self.t_ts_len,
-                    jnp.asarray(pq), jnp.asarray(pt),
+                    jnp.asarray(prs),
                     tl=tl, threshold=thr,
                 )
                 pending.append((idx, m, r))

@@ -174,6 +174,40 @@ def jaccard_scores_kernel(
     return jnp.where(tpos < nt, jacc, -1.0)
 
 
+def _unpack_plan_args(buf: jnp.ndarray, u: int, qb: int, lq: int):
+    """Inverse of QueryBlockPlan.packed_args (on device)."""
+    union_ids = buf[:u]
+    w_pos = buf[u : u + qb * lq].reshape(qb, lq)
+    w_val = jax.lax.bitcast_convert_type(
+        buf[u + qb * lq : u + 2 * qb * lq], jnp.float32
+    ).reshape(qb, lq)
+    maxint = jax.lax.bitcast_convert_type(buf[u + 2 * qb * lq :], jnp.float32)
+    return union_ids, w_pos, w_val, maxint
+
+
+@partial(jax.jit, static_argnames=("u", "qb", "lq", "k", "title_block", "score_dtype"))
+def _topk_packed_xla(packed, sums, buf, nt, *, u, qb, lq, k, title_block, score_dtype):
+    union_ids, w_pos, w_val, maxint = _unpack_plan_args(buf, u, qb, lq)
+    return jaccard_topk_kernel(
+        packed, sums, union_ids, w_pos, w_val, maxint, nt,
+        k=k, title_block=title_block, score_dtype=score_dtype,
+    )
+
+
+@partial(jax.jit, static_argnames=("u", "qb", "lq", "k", "tb", "score_dtype",
+                                   "interpret", "recall_target"))
+def _topk_packed_pallas(packed, sums_perm, buf, nt, *, u, qb, lq, k, tb,
+                        score_dtype, interpret, recall_target):
+    from doppelspeller_tpu.ops.jaccard_pallas import jaccard_topk_pallas
+
+    union_ids, w_pos, w_val, maxint = _unpack_plan_args(buf, u, qb, lq)
+    return jaccard_topk_pallas(
+        packed, sums_perm, union_ids, w_pos, w_val, maxint, nt,
+        k=k, tb=tb, score_dtype=score_dtype, interpret=interpret,
+        recall_target=recall_target,
+    )
+
+
 class JaccardScorer:
     """Device-resident retrieval engine over a TruthIndex.
 
@@ -230,35 +264,23 @@ class JaccardScorer:
         # dispatch every block first (async), fetch afterwards — the device
         # streams through blocks while the host prepares/fetches others
         use_pallas = self.impl.startswith("pallas")
-        if use_pallas:
-            from doppelspeller_tpu.ops.jaccard_pallas import jaccard_topk_pallas
         pending = []
         for plan in plans:
+            buf = jnp.asarray(plan.packed_args())
+            u = plan.union_ids.shape[0]
+            qb, lq = plan.w_pos.shape
             if use_pallas:
-                outs = jaccard_topk_pallas(
-                    self.packed_d,
-                    self.sums_perm_d,
-                    jnp.asarray(plan.union_ids),
-                    jnp.asarray(plan.w_pos),
-                    jnp.asarray(plan.w_val),
-                    jnp.asarray(plan.max_intersection),
-                    self.nt_d,
-                    k=k,
-                    tb=self._pallas_tb,
+                outs = _topk_packed_pallas(
+                    self.packed_d, self.sums_perm_d, buf, self.nt_d,
+                    u=u, qb=qb, lq=lq, k=k, tb=self._pallas_tb,
                     score_dtype=self.score_dtype,
                     interpret=(self.impl == "pallas_interpret"),
                     recall_target=getattr(self.cfg, "topk_recall_target", 1.0),
                 )
             else:
-                outs = jaccard_topk_kernel(
-                    self.packed_d,
-                    self.sums_d,
-                    jnp.asarray(plan.union_ids),
-                    jnp.asarray(plan.w_pos),
-                    jnp.asarray(plan.w_val),
-                    jnp.asarray(plan.max_intersection),
-                    self.nt_d,
-                    k=k,
+                outs = _topk_packed_xla(
+                    self.packed_d, self.sums_d, buf, self.nt_d,
+                    u=u, qb=qb, lq=lq, k=k,
                     title_block=self.cfg.title_block,
                     score_dtype=self.score_dtype,
                 )

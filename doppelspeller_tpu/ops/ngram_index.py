@@ -176,6 +176,16 @@ class QueryBlockPlan:
         w[np.arange(qb)[:, None], self.w_pos] = self.w_val
         return w[:, :u]
 
+    def packed_args(self) -> np.ndarray:
+        """All device inputs as ONE int32 buffer — a single host→device
+        transfer per block (each transfer pays a full tunnel round-trip)."""
+        return np.concatenate([
+            self.union_ids.astype(np.int32),
+            self.w_pos.reshape(-1).astype(np.int32),
+            self.w_val.reshape(-1).view(np.int32),
+            self.max_intersection.view(np.int32),
+        ])
+
 
 def plan_query_blocks(
     queries: TitleSet,

@@ -34,12 +34,14 @@ def _fused_rerank_kernel(
     t_enc, t_len, t_start, t_wlen, t_nwords, t_counts,
     # model arrays (resident)
     m_feat, m_thr, m_ml, m_val, m_leaf,
-    # per-chunk pair indices
-    pair_q, pair_t,
+    # per-chunk pair indices: ONE (2, B) buffer = one host→device transfer
+    pairs,
     n_truth,
     base_margin,
     *, tl: int, wl: int, depth: int, window_impl: str = "xla",
 ):
+    pair_q = pairs[0]
+    pair_t = pairs[1]
     B = pair_q.shape[0]
     qe = q_enc[pair_q][:, :tl]
     ql = q_len[pair_q]
@@ -142,16 +144,15 @@ class RerankEngine:
                 for s in range(0, len(sel), chunk):
                     idx = sel[s : s + chunk]
                     m = len(idx)
-                    pq = np.zeros(chunk, np.int32)
-                    pt = np.zeros(chunk, np.int32)
-                    pq[:m] = pair_q[idx]
-                    pt[:m] = pair_t[idx]
+                    prs = np.zeros((2, chunk), np.int32)
+                    prs[0, :m] = pair_q[idx]
+                    prs[1, :m] = pair_t[idx]
                     preds = _fused_rerank_kernel(
                         q_enc_d, q_len_d, q_wo_d, q_wo_len_d,
                         self.t_enc, self.t_len, self.t_start, self.t_wlen,
                         self.t_nwords, self.t_counts,
                         *self.m,
-                        jnp.asarray(pq), jnp.asarray(pt),
+                        jnp.asarray(prs),
                         self.n_truth, self.base_margin,
                         tl=TL, wl=WL, depth=self.depth,
                         window_impl=self._window_impl,
