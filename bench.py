@@ -166,14 +166,23 @@ def main():
 
     matcher = Matcher(cfg, truth=truth, index=index, model=model)
 
-    # warmup: a stratified sample so every (length, word-length) bucket's
-    # program compiles before the timed run
+    # warmup: a stratified sample PLUS the longest queries, so every
+    # (length, word-length, trigram-count) bucket's program compiles before
+    # the timed run (a single long query in the timed set would otherwise
+    # trigger a mid-run recompile)
     from doppelspeller_tpu.utils.io import TitleSet as _TS
 
     stride = max(len(queries.titles) // 2048, 1)
-    warm = _TS.from_titles(queries.titles[::stride][:2048], config=cfg)
+    by_len = sorted(queries.titles, key=len, reverse=True)[:64]
+    warm = _TS.from_titles(queries.titles[::stride][:2048] + by_len, config=cfg)
     t0 = time.time()
     matcher.predict(warm)
+    # and the short-query LQ bucket (in case the timed run's longest queries
+    # all exact-match out before retrieval)
+    warm_short = _TS.from_titles(
+        sorted(queries.titles, key=len)[:512], config=cfg
+    )
+    matcher.predict(warm_short)
     print(f"# warmup: {time.time()-t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()

@@ -221,10 +221,9 @@ def plan_query_blocks(
     maxint_all = (w_fb * valid_all).sum(axis=1, dtype=np.float64).astype(np.float32)
 
     # per-query trigram count → one static LQ bucket for the whole run
+    # (buckets {64, full} keep the compiled-program count at two)
     counts = valid_all.sum(axis=1)
-    lq = 32
-    while lq < int(counts.max(initial=1)):
-        lq *= 2
+    lq = 64 if int(counts.max(initial=1)) <= 64 else ids_all.shape[1]
     lq = min(lq, ids_all.shape[1])
 
     plans: List[QueryBlockPlan] = []
