@@ -247,10 +247,14 @@ class JaccardScorer:
         Returns (scores float32[N, k], positions int32[N, k]) where positions
         index into ``index.title_ids``, sorted by descending jaccard score.
         """
+        import time as _time
+
         k = k or self.cfg.top_n_predicting
         if self.index.num_titles < k:
             raise ValueError(f"index has {self.index.num_titles} titles < k={k}")
+        t0 = _time.time()
         plans = plan_query_blocks(queries, self.index, self.cfg, rows=rows)
+        t_plan = _time.time() - t0
         n = sum(p.n_valid for p in plans)
         out_scores = np.zeros((n, k), dtype=np.float32)
         out_pos = np.zeros((n, k), dtype=np.int32)
@@ -285,13 +289,20 @@ class JaccardScorer:
                     score_dtype=self.score_dtype,
                 )
             pending.append((plan, outs))
+        t_dispatch = _time.time() - t0 - t_plan
         for plan, (vals, idxs) in pending:
-            vals = np.asarray(vals[: plan.n_valid])
-            idxs = np.asarray(idxs[: plan.n_valid])
-            for slot, qrow in enumerate(plan.query_rows):
-                j = row_of[int(qrow)]
-                out_scores[j] = vals[slot]
-                out_pos[j] = idxs[slot]
+            vals = np.asarray(vals)[: plan.n_valid]
+            idxs = np.asarray(idxs)[: plan.n_valid]
+            j = np.fromiter(
+                (row_of[int(q)] for q in plan.query_rows), dtype=np.int64,
+                count=plan.n_valid,
+            )
+            out_scores[j] = vals
+            out_pos[j] = idxs
+        LOGGER.info(
+            "topk: %d blocks | plan %.2fs | dispatch %.2fs | fetch %.2fs",
+            len(plans), t_plan, t_dispatch, _time.time() - t0 - t_plan - t_dispatch,
+        )
         return out_scores, out_pos
 
     def topk_title_ids(self, queries: TitleSet, k: Optional[int] = None,
