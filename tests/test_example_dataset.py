@@ -1,0 +1,80 @@
+"""Integration tests on the reference's shipped example dataset (CPU,
+subsetted for speed).  Skipped when the dataset is unavailable."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from doppelspeller_tpu.config import Config
+from doppelspeller_tpu.ops.jaccard import JaccardScorer
+from doppelspeller_tpu.ops.ngram_index import build_truth_index
+from doppelspeller_tpu.utils import text as T
+from doppelspeller_tpu.utils.io import TitleSet
+
+
+@pytest.fixture(scope="module")
+def example(example_data_dir):
+    cfg = Config(
+        data_path=str(example_data_dir),
+        title_block=1024,
+        query_block=16,
+        score_dtype="float32",
+    )
+    truth_df = pd.read_csv(example_data_dir / "example_truth.csv", sep="|")
+    test_df = pd.read_csv(example_data_dir / "example_test_with_actuals.csv", sep="|")
+    return cfg, truth_df, test_df
+
+
+def test_known_transforms(example):
+    cfg, truth_df, test_df = example
+    # rows eyeballed from the shipped files
+    assert T.transform_title("Great Expectations Ministries") == (
+        "great expectations ministries"
+    )
+    assert T.transform_title("DMG Events (UK) Limited") == "dmg events uk limited"
+
+
+def test_retrieval_recall_on_example_subset(example):
+    cfg, truth_df, test_df = example
+    truth_sub = truth_df.iloc[:4000]
+    truth = TitleSet.from_titles(
+        [str(x) for x in truth_sub["name"]],
+        ids=truth_sub["company_id"].to_numpy(np.int64),
+        config=cfg,
+    )
+    id_set = set(truth.ids.tolist())
+    # queries whose actual truth id is inside the subset
+    mask = test_df["company_id"].isin(id_set)
+    q_df = test_df[mask].iloc[:80]
+    assert len(q_df) >= 40
+    queries = TitleSet.from_titles(
+        [str(x) for x in q_df["name"]],
+        ids=q_df["test_index"].to_numpy(np.int64),
+        config=cfg,
+    )
+    index = build_truth_index(truth, cfg)
+    scorer = JaccardScorer(index, cfg)
+    _, cand_ids = scorer.topk_title_ids(queries, k=20)
+    actual = q_df["company_id"].to_numpy(np.int64)
+    recall = np.mean([actual[i] in cand_ids[i] for i in range(len(q_df))])
+    # the reference funnels these same queries through its own top-n; real
+    # misspellings of in-subset titles must essentially always be retrieved
+    assert recall >= 0.95, recall
+    # and the top-1 should usually be the right one
+    top1 = np.mean(cand_ids[:, 0] == actual)
+    assert top1 >= 0.80, top1
+
+
+def test_exact_example_titles_score_one(example):
+    cfg, truth_df, test_df = example
+    truth_sub = truth_df.iloc[:2000]
+    truth = TitleSet.from_titles(
+        [str(x) for x in truth_sub["name"]],
+        ids=truth_sub["company_id"].to_numpy(np.int64),
+        config=cfg,
+    )
+    queries = TitleSet.from_titles(truth.titles[:25], config=cfg)
+    scorer = JaccardScorer(build_truth_index(truth, cfg), cfg)
+    scores, ids = scorer.topk_title_ids(queries, k=3)
+    np.testing.assert_allclose(scores[:, 0], 1.0, rtol=1e-5)
+    np.testing.assert_array_equal(ids[:, 0], truth.ids[:25])
