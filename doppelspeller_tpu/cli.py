@@ -94,6 +94,10 @@ def train_model():
         f"eval custom-error={report['eval_custom_error']:.0f} "
         f"TP={em['tp']} TN={em['tn']} FP={em['fp']} FN={em['fn']}"
     )
+    # top feature importances (reference train.py:50-60,123)
+    imp = report["feature_importance"]
+    top = sorted(enumerate(imp), key=lambda kv: -kv[1])[:10]
+    click.echo("top features: " + ", ".join(f"f{i}={v:.3f}" for i, v in top))
 
 
 @cli.command()
