@@ -9,6 +9,9 @@ PYTHON ?= python
 test:
 	$(PYTHON) -m pytest tests/ -q
 
+lint:
+	$(PYTHON) scripts/lint.py
+
 stage-example-data:
 	$(PYTHON) -m doppelspeller_tpu.cli stage-example-data-set
 

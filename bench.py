@@ -190,16 +190,31 @@ def main():
     elapsed = time.time() - t0
     qps = n_queries / elapsed
 
-    matched = result.match_title_id != -1
-    correct = (result.match_title_id == actual).mean()
+    correct = float((result.match_title_id == actual).mean())
     print(f"# predict: {elapsed:.1f}s  ({qps:.0f} q/s)  accuracy={correct:.4f}  "
           f"stages={result.stage_counts}", file=sys.stderr)
+
+    # regression gate: a perf "win" must not silently buy throughput with
+    # accuracy (bfloat16 scoring / approx top-k are the risky knobs)
+    floor = float(os.environ.get("BENCH_ACCURACY_FLOOR", "0.80"))
+    if n_queries >= 10_000 and correct < floor:
+        print(json.dumps({
+            "metric": "BENCH FAILED: accuracy below floor",
+            "value": round(correct, 4), "unit": "accuracy",
+            "vs_baseline": 0.0,
+        }))
+        raise SystemExit(f"accuracy {correct:.4f} < floor {floor}")
 
     print(json.dumps({
         "metric": f"end-to-end match throughput ({n_queries} queries x {n_titles} titles, 1 chip)",
         "value": round(qps, 1),
         "unit": "queries/sec",
         "vs_baseline": round(qps / BASELINE_QPS, 2),
+        "accuracy": round(correct, 4),
+        "stage_counts": result.stage_counts,
+        "stage_seconds": {k: round(v, 2) for k, v in
+                          getattr(result, "stage_seconds", {}).items()},
+        "elapsed_seconds": round(elapsed, 2),
     }))
 
 

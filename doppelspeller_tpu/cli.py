@@ -26,7 +26,6 @@ LOGGER = logging.getLogger(__name__)
 @click.option("-v", "--verbose", count=True, envvar="LOGGING_LEVEL",
               help="Make output more verbose. Use more v's for more verbosity.")
 def cli(verbose):
-    LOGGER.info("doppelspeller-tpu v%s-%s", __version__, __build__)
     if verbose <= 1:
         level = logging.WARNING
     elif verbose == 2:
@@ -37,6 +36,8 @@ def cli(verbose):
         stream=sys.stdout, level=level,
         format="[%(asctime)s]%(levelname)s|%(name)s|%(message)s",
     )
+    # banner after basicConfig so it is actually emitted at -vv/-vvv
+    LOGGER.info("doppelspeller-tpu v%s-%s", __version__, __build__)
     if os.environ.get("DOPPEL_DEBUG_NANS"):
         # NaN debugging for the functional kernels (SURVEY.md §5 — replaces
         # the reference's fastmath/errstate suppression with a fail-fast mode)

@@ -98,9 +98,10 @@ class Config:
     topk_recall_target: float = 0.99
     # queries scored per device step (rows of the MXU matmul)
     query_block: int = 256
-    # max unique trigrams considered per query (titles have <=253 trigrams;
-    # company-style names have ~15-40 — overflowing trigrams are dropped from
-    # scoring but still counted in the union term, keeping scores conservative)
+    # compact per-query trigram-slot width for the sparse weight transfer:
+    # runs whose queries all have <= this many unique trigrams ship
+    # (query_block x max_query_trigrams) sparse weights; any longer query
+    # switches the whole run to the full width.  No trigrams are dropped.
     max_query_trigrams: int = 64
     # truth titles per inner matmul tile
     title_block: int = 32768

@@ -33,13 +33,13 @@ from __future__ import annotations
 import logging
 from dataclasses import dataclass, field
 from functools import partial
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from doppelspeller_tpu.config import Config, get_config
+from doppelspeller_tpu.config import Config
 
 LOGGER = logging.getLogger(__name__)
 

@@ -35,8 +35,11 @@ int transform_title_c(const uint8_t* in, int64_t in_len,
     for (int64_t i = 0; i < in_len && m < (int)sizeof(buf); ++i) {
         uint8_t c = in[i];
         if (c >= 0x80) continue;            // ascii-ignore
-        if (c == '\t' || c == '\n' || c == '\r' || c == '\v' || c == '\f')
-            c = ' ';                        // whitespace → space (see text.py)
+        // whitespace → space (see text.py): python's str-mode \s also
+        // matches the separator controls \x1c-\x1f
+        if (c == '\t' || c == '\n' || c == '\r' || c == '\v' || c == '\f' ||
+            (c >= 0x1c && c <= 0x1f))
+            c = ' ';
         if (c >= 'A' && c <= 'Z') c = c - 'A' + 'a';
         if (c == '-') c = ' ';
         if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == ' ')

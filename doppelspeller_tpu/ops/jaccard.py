@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import logging
 from functools import partial
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -54,13 +54,12 @@ def topk_over_blocks(
     k: int,
     title_block: int,
     score_dtype: str = "float32",
-    vary_axis: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Core scorer: scan title blocks, fuse matmul + jaccard + running top-k.
 
     Shared by the single-device kernel and the shard_map per-device path
-    (where ``global_offset`` = shard_index · local_titles and ``vary_axis``
-    names the mesh axis the carry varies over)."""
+    (where ``global_offset`` = shard_index · local_titles; the sharded
+    caller runs with check_vma=False so no varying-axis marking is needed)."""
     dtype = jnp.dtype(score_dtype)
     # With float32 inputs force true-f32 MXU passes; the fast path is
     # score_dtype="bfloat16" where DEFAULT precision is already bf16.
@@ -100,9 +99,6 @@ def topk_over_blocks(
         jnp.full((qb, k), -jnp.inf, dtype=jnp.float32),
         jnp.zeros((qb, k), dtype=jnp.int32),
     )
-    if vary_axis is not None:
-        # inside shard_map the carry varies over the mesh axis — mark it so
-        init = jax.tree.map(lambda x: jax.lax.pvary(x, (vary_axis,)), init)
     (vals, idxs), _ = jax.lax.scan(body, init, jnp.arange(nblocks))
     return vals, idxs
 

@@ -22,7 +22,6 @@ Batched over pairs, padded/masked to static length buckets.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

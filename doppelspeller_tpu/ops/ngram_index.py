@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import logging
 from dataclasses import dataclass
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 
@@ -39,17 +39,34 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def title_content_hash(encoded: np.ndarray, lengths: np.ndarray) -> str:
+    """Digest of the encoded titles — detects truth-title edits that keep the
+    same ids/count (checkpoint-staleness guard)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(np.ascontiguousarray(lengths.astype(np.int32)).tobytes())
+    h.update(np.ascontiguousarray(encoded).tobytes())
+    return h.hexdigest()
+
+
 @dataclass
 class TruthIndex:
     """Host-side representation of the packed truth index."""
 
     packed: np.ndarray      # uint8[V, ntp//8] little-endian bit-packed occupancy
     idf: np.ndarray         # float32[V] log(N/df), 0 for unobserved trigrams
+    df: np.ndarray          # int32[V] document frequency (distinguishes an
+                            #   observed everywhere-trigram, idf exactly 0,
+                            #   from an unobserved one — reference
+                            #   match_maker.py:151 only falls back to max_idf
+                            #   for trigrams absent from the mapping)
     sums: np.ndarray        # float32[ntp] per-title IDF sum (0 for padding)
     title_ids: np.ndarray   # int64[nt] external title ids
     num_titles: int         # nt (real titles)
     padded_titles: int      # ntp (multiple of title_block)
     max_idf: float          # fallback IDF for query trigrams absent in truth
+    content_hash: str = ""  # digest of the encoded truth titles
 
     @property
     def vocab_size(self) -> int:
@@ -62,11 +79,13 @@ class TruthIndex:
             path,
             packed=self.packed,
             idf=self.idf,
+            df=self.df,
             sums=self.sums,
             title_ids=self.title_ids,
             num_titles=np.int64(self.num_titles),
             padded_titles=np.int64(self.padded_titles),
             max_idf=np.float32(self.max_idf),
+            content_hash=np.str_(self.content_hash),
         )
 
     @classmethod
@@ -75,11 +94,13 @@ class TruthIndex:
         return cls(
             packed=z["packed"],
             idf=z["idf"],
+            df=z["df"],
             sums=z["sums"],
             title_ids=z["title_ids"],
             num_titles=int(z["num_titles"]),
             padded_titles=int(z["padded_titles"]),
             max_idf=float(z["max_idf"]),
+            content_hash=str(z["content_hash"]),
         )
 
 
@@ -141,11 +162,13 @@ def build_truth_index(truth: TitleSet, config: Optional[Config] = None) -> Truth
     return TruthIndex(
         packed=packed,
         idf=idf,
+        df=df,
         sums=sums,
         title_ids=truth.ids.copy(),
         num_titles=nt,
         padded_titles=ntp,
         max_idf=max_idf,
+        content_hash=title_content_hash(truth.encoded, truth.lengths),
     )
 
 
@@ -216,14 +239,21 @@ def plan_query_blocks(
 
     ids_all = T.trigram_ids_matrix(queries.encoded[rows], queries.lengths[rows])
     valid_all = ids_all != BIG
-    idf_g = index.idf[np.clip(ids_all, 0, index.idf.shape[0] - 1)]
-    w_fb = np.where(idf_g > 0.0, idf_g, np.float32(index.max_idf))
+    clipped = np.clip(ids_all, 0, index.idf.shape[0] - 1)
+    idf_g = index.idf[clipped]
+    # max-IDF fallback only for trigrams UNOBSERVED in truth (df == 0); an
+    # everywhere-trigram has idf exactly 0 but is present in the reference's
+    # mapping and adds nothing (match_maker.py:151,197)
+    w_fb = np.where(index.df[clipped] > 0, idf_g, np.float32(index.max_idf))
     maxint_all = (w_fb * valid_all).sum(axis=1, dtype=np.float64).astype(np.float32)
 
     # per-query trigram count → one static LQ bucket for the whole run
-    # (buckets {64, full} keep the compiled-program count at two)
+    # (buckets {max_query_trigrams, full} keep the compiled-program count at
+    # two; no trigrams are ever dropped — a run with any longer query simply
+    # uses the full-width bucket)
     counts = valid_all.sum(axis=1)
-    lq = 64 if int(counts.max(initial=1)) <= 64 else ids_all.shape[1]
+    mqt = cfg.max_query_trigrams
+    lq = mqt if int(counts.max(initial=1)) <= mqt else ids_all.shape[1]
     lq = min(lq, ids_all.shape[1])
 
     plans: List[QueryBlockPlan] = []

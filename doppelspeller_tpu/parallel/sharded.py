@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import logging
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -83,7 +83,12 @@ class ShardedJaccardScorer:
             packed, NamedSharding(mesh, P(None, self.axis))
         )
         self.sums_d = jax.device_put(sums, NamedSharding(mesh, P(self.axis)))
-        self.nt = jnp.int32(index.num_titles)
+        # replicated-on-mesh sharding for small per-call inputs: every array
+        # this scorer touches is explicitly placed on the mesh's devices, so
+        # the scorer works regardless of the process default backend (and the
+        # CPU dryrun stays hermetic when a TPU is attached)
+        self._rep = NamedSharding(mesh, P())
+        self.nt = jax.device_put(np.int32(index.num_titles), self._rep)
 
         axis = self.axis
         title_block = self.cfg.title_block
@@ -102,7 +107,6 @@ class ShardedJaccardScorer:
                 rows, sums_l, weights, maxint,
                 idx.astype(jnp.int32) * ntp_local, nt,
                 k=k, title_block=title_block, score_dtype=score_dtype,
-                vary_axis=axis,
             )
             # merge across shards: one ICI all-gather of (k) candidates each
             all_vals = jax.lax.all_gather(vals, axis)       # (D, QB, k)
@@ -128,6 +132,12 @@ class ShardedJaccardScorer:
             out_specs=(P(), P()),
             check_vma=False,
         )
+        # pin the small per-call inputs to the mesh devices (never the
+        # process default backend)
+        union_ids, w_pos, w_val, maxint = (
+            jax.device_put(np.asarray(x), self._rep)
+            for x in (union_ids, w_pos, w_val, maxint)
+        )
         return jax.jit(fn)(
             self.packed_d, self.sums_d, union_ids, w_pos, w_val, maxint, self.nt
         )
@@ -145,20 +155,16 @@ class ShardedJaccardScorer:
         pending = []
         for plan in plans:
             outs = self.topk_kernel(
-                jnp.asarray(plan.union_ids),
-                jnp.asarray(plan.w_pos),
-                jnp.asarray(plan.w_val),
-                jnp.asarray(plan.max_intersection),
-                k,
+                plan.union_ids, plan.w_pos, plan.w_val, plan.max_intersection, k,
             )
             pending.append((plan, outs))
         for plan, (vals, idxs) in pending:
-            vals = np.asarray(vals[: plan.n_valid])
-            idxs = np.asarray(idxs[: plan.n_valid])
-            for slot, qrow in enumerate(plan.query_rows):
-                j = row_of[int(qrow)]
-                out_scores[j] = vals[slot]
-                out_pos[j] = idxs[slot]
+            j = np.fromiter(
+                (row_of[int(q)] for q in plan.query_rows), dtype=np.int64,
+                count=plan.n_valid,
+            )
+            out_scores[j] = np.asarray(vals)[: plan.n_valid]
+            out_pos[j] = np.asarray(idxs)[: plan.n_valid]
         return out_scores, out_pos
 
 

@@ -33,9 +33,7 @@ import numpy as np
 from doppelspeller_tpu.config import Config, get_config
 from doppelspeller_tpu.models.gbt import GBTModel
 from doppelspeller_tpu.models.trainer import WordCounts
-from doppelspeller_tpu.ops.features import construct_features
 from doppelspeller_tpu.ops.jaccard import JaccardScorer
-from doppelspeller_tpu.ops.levenshtein import ratio_rounded
 from doppelspeller_tpu.ops.ngram_index import TruthIndex, build_truth_index
 from doppelspeller_tpu.utils import text as T
 from doppelspeller_tpu.utils.io import TitleSet, load_ground_truth
@@ -57,6 +55,7 @@ class PredictionResult:
     transformed: List[str]
     match_transformed: List[Optional[str]]
     stage_counts: Dict[str, int] = field(default_factory=dict)
+    stage_seconds: Dict[str, float] = field(default_factory=dict)
 
     def to_output_frame(self):
         import pandas as pd
@@ -109,9 +108,22 @@ class Matcher:
         if index is None and use_index_checkpoint and os.path.exists(self.cfg.index_path):
             # resume from the checkpointed index (cli.py build-index) — the
             # reference rebuilds its MatchMaker from CSV on every run
-            loaded = TruthIndex.load(self.cfg.index_path)
-            if loaded.num_titles == len(self.truth) and np.array_equal(
-                loaded.title_ids, self.truth.ids
+            from doppelspeller_tpu.ops.ngram_index import title_content_hash
+
+            try:
+                loaded = TruthIndex.load(self.cfg.index_path)
+            except Exception as exc:  # stale/old-format checkpoint
+                LOGGER.warning(
+                    "index checkpoint at %s unreadable (%s); rebuilding",
+                    self.cfg.index_path, exc,
+                )
+                loaded = None
+            if (
+                loaded is not None
+                and loaded.num_titles == len(self.truth)
+                and np.array_equal(loaded.title_ids, self.truth.ids)
+                and loaded.content_hash
+                == title_content_hash(self.truth.encoded, self.truth.lengths)
             ):
                 LOGGER.info("loaded index checkpoint from %s", self.cfg.index_path)
                 index = loaded
@@ -343,6 +355,10 @@ class Matcher:
             if len(rem2) and (not single or res.stage[0] == STAGE_NONE):
                 self._stage_model(queries, rem2, cand_pos[still], res, single)
             t4 = _time.time()
+        res.stage_seconds = {
+            "exact": t1 - t0, "retrieval": t2 - t1,
+            "fuzzy": t3 - t2, "model": t4 - t3,
+        }
         LOGGER.info(
             "stage timing: exact %.2fs | retrieval %.2fs | fuzzy %.2fs | model %.2fs",
             t1 - t0, t2 - t1, t3 - t2, t4 - t3,

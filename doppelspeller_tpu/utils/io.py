@@ -73,15 +73,27 @@ class TitleSet:
         )
 
 
-def _read_csv(path: str, delimiter: str) -> pd.DataFrame:
-    return pd.read_csv(path, delimiter=delimiter)
+def _read_csv(path: str, delimiter: str, required_columns: tuple) -> pd.DataFrame:
+    """Load + validate schema (reference common.py:78-81,94-97,110-113 raises
+    a clear error on unexpected columns instead of a raw pandas KeyError)."""
+    df = pd.read_csv(path, delimiter=delimiter)
+    missing = [c for c in required_columns if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"Invalid input file {path}: missing required column(s) "
+            f"{missing} (found {list(df.columns)}, delimiter {delimiter!r})"
+        )
+    return df
 
 
 def load_ground_truth(config: Optional[Config] = None) -> TitleSet:
     """Truth DB loader (reference common.py:75-88)."""
     cfg = config or get_config()
     LOGGER.info("Reading and transforming the ground truth data!")
-    df = _read_csv(cfg.ground_truth_path, cfg.delimiter)
+    df = _read_csv(
+        cfg.ground_truth_path, cfg.delimiter,
+        (cfg.truth_id_column, cfg.truth_title_column),
+    )
     ts = TitleSet.from_titles(
         [str(x) for x in df[cfg.truth_title_column]],
         ids=df[cfg.truth_id_column].astype(np.int64).to_numpy(),
@@ -96,7 +108,10 @@ def load_train_data(config: Optional[Config] = None) -> TitleSet:
     title_id column (−1 = not in truth)."""
     cfg = config or get_config()
     LOGGER.info("Reading and transforming the train data!")
-    df = _read_csv(cfg.train_path, cfg.delimiter)
+    df = _read_csv(
+        cfg.train_path, cfg.delimiter,
+        (cfg.train_index_column, cfg.truth_title_column, cfg.truth_id_column),
+    )
     ts = TitleSet.from_titles(
         [str(x) for x in df[cfg.truth_title_column]],
         ids=df[cfg.train_index_column].astype(np.int64).to_numpy(),
@@ -111,7 +126,10 @@ def load_test_data(config: Optional[Config] = None) -> TitleSet:
     """Test loader (reference common.py:107-120)."""
     cfg = config or get_config()
     LOGGER.info("Reading and transforming the test data!")
-    df = _read_csv(cfg.test_path, cfg.delimiter)
+    df = _read_csv(
+        cfg.test_path, cfg.delimiter,
+        (cfg.test_index_column, cfg.truth_title_column),
+    )
     ts = TitleSet.from_titles(
         [str(x) for x in df[cfg.truth_title_column]],
         ids=df[cfg.test_index_column].astype(np.int64).to_numpy(),

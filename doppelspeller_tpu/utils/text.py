@@ -21,7 +21,6 @@ from doppelspeller_tpu.config import (
     ALPHABET,
     N_TEXT_CHARS,
     PAD_CODE,
-    SPACE_CODE,
     TRIGRAM_VOCAB_SIZE,
     get_config,
 )

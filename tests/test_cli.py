@@ -2,14 +2,12 @@
 
 import gzip
 import os
-import shutil
 
 import numpy as np
 import pandas as pd
 import pytest
 from click.testing import CliRunner
 
-from doppelspeller_tpu import config as config_mod
 
 
 @pytest.fixture()

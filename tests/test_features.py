@@ -9,7 +9,6 @@ spec, not from the kernel.
 import math
 import random
 import string
-from collections import Counter
 
 import numpy as np
 import pytest

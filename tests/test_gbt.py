@@ -1,7 +1,6 @@
 """GBT model tests: learning behaviour, missing-value routing, predict parity."""
 
 import numpy as np
-import pytest
 
 from doppelspeller_tpu.models.gbt import (
     GBTModel,

@@ -4,7 +4,6 @@ import random
 import string
 
 import numpy as np
-import pytest
 
 import jax.numpy as jnp
 

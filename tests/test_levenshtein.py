@@ -9,7 +9,6 @@ import random
 import string
 
 import numpy as np
-import pytest
 
 from doppelspeller_tpu.config import Config
 from doppelspeller_tpu.ops.levenshtein import batched_ratio, lcs_kernel, ratio_rounded

@@ -1,6 +1,5 @@
 """End-to-end pipeline tests on a tiny synthetic world (CPU)."""
 
-import os
 import random
 import string
 
@@ -11,7 +10,6 @@ from doppelspeller_tpu import constants as c
 from doppelspeller_tpu.config import Config
 from doppelspeller_tpu.models.gbt import GBTParams
 from doppelspeller_tpu.models.trainer import (
-    WordCounts,
     assemble_training_pairs,
     evaluation_indexes,
     train_model,

@@ -1,7 +1,6 @@
 """Fused rerank engine parity vs the separate features+predict path (CPU)."""
 
 import random
-import string
 
 import numpy as np
 import pytest

@@ -3,7 +3,6 @@
 import math
 
 import numpy as np
-import pytest
 
 from doppelspeller_tpu.utils import text as T
 
