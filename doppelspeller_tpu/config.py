@@ -105,12 +105,22 @@ class Config:
     max_query_trigrams: int = 64
     # truth titles per inner matmul tile
     title_block: int = 32768
+    # query blocks scored per device dispatch (lax.scan inside one program —
+    # the TPU tunnel costs 10-30 ms RTT per dispatch/fetch)
+    dispatch_blocks: int = 16
+    # union rows unpacked per inner fori step of the pallas scorer
+    pallas_union_chunk: int = 512
     # batched pair block for levenshtein/feature kernels
     pair_block: int = 8192
     # length buckets for DP kernels
     length_buckets: Tuple[int, ...] = (32, 64, 128, 256)
     # mesh axis name used by the sharded index
     mesh_axis: str = "titles"
+    # cascade execution: "device" keeps the candidate matrix in HBM and runs
+    # fuzzy/model decisions on device (one program per stage); "host" fetches
+    # candidates and assembles pairs on the host (reference-shaped path);
+    # "auto" picks device for large batches
+    cascade_impl: str = "auto"
 
     def __post_init__(self):
         if self.top_n_training > self.top_n_predicting:

@@ -57,6 +57,76 @@ def _fuzzy_kernel(
     return jnp.where(r1 > threshold, r1, r2)
 
 
+@partial(jax.jit, static_argnames=("tl", "threshold", "chunk"))
+def _fuzzy_decide_kernel(
+    q_enc, q_len, q_ts, q_ts_len,      # (R, TL) bucket-sliced query arrays
+    t_enc, t_len, t_ts, t_ts_len,      # truth-side device arrays (resident)
+    cand,                              # (R_all, K) int32 device-resident top-k
+    rows,                              # (R,) int32 rows of ``cand`` to process
+    *, tl: int, threshold: int, chunk: int,
+):
+    """Stage-2 decision for a bucket of query rows entirely on device.
+
+    Per row: length-delta prefilter (predict.py:150) → plain ratio, token-sort
+    fallback (predict.py:147-156) → keep ratio>threshold, per-row max, tied
+    distinct maxima drop the row to stage 3 (predict.py:172-181).
+    Returns (matched bool[R], best_pos int32[R] — truth position of the best
+    candidate, best_ratio int32[R], overflow bool[R]).  Rows are processed in
+    ``chunk``-sized slices under lax.scan — ONE device program regardless of R.
+    """
+    K = cand.shape[1]
+    R = rows.shape[0]
+
+    def step(_, sl):
+        qe, ql, qts, qtsl, rws = sl                 # (C, ...) slice
+        C = qe.shape[0]
+        cd = cand[rws]                              # (C, K)
+        pos = cd.reshape(-1)                        # (C*K,)
+        te = t_enc[pos][:, :tl]
+        tle = t_len[pos]
+        tts = t_ts[pos][:, :tl]
+        ttsl = t_ts_len[pos]
+
+        ql_r = jnp.repeat(ql, K)
+        tot = ql_r + tle
+        delta = jnp.abs(ql_r - tle)
+        del_ratio = (tot - delta).astype(jnp.float32) / jnp.maximum(tot, 1) * 100.0
+        consider = del_ratio >= threshold           # (C*K,)
+
+        def rounded_ratio(a, la, b, lb):
+            lcs = lcs_kernel(a, la, b, lb)
+            total = jnp.maximum(la + lb, 1).astype(jnp.float32)
+            return jnp.round(200.0 * lcs.astype(jnp.float32) / total).astype(jnp.int32)
+
+        a = jnp.repeat(qe, K, axis=0)[:, :tl]
+        r1 = rounded_ratio(a, ql_r, te, tle)
+        a2 = jnp.repeat(qts, K, axis=0)[:, :tl]
+        r2 = rounded_ratio(a2, jnp.repeat(qtsl, K), tts, ttsl)
+        ratio = jnp.where(r1 > threshold, r1, r2)
+        ratio = jnp.where(consider, ratio, 0).reshape(C, K)
+
+        keep = ratio > threshold
+        masked = jnp.where(keep, ratio, -1)
+        mx = masked.max(axis=1)                     # (C,)
+        cnt = (masked == mx[:, None]).sum(axis=1)
+        matched = (mx > -1) & (cnt == 1)
+        best_col = jnp.argmax(masked, axis=1).astype(jnp.int32)
+        best_pos = jnp.take_along_axis(cd, best_col[:, None], axis=1)[:, 0]
+        # candidates longer than the compiled tile were scored truncated —
+        # flag the row so the host re-decides it exactly (rare)
+        over = (consider & (jnp.maximum(tle, ttsl) > tl)).reshape(C, K).any(axis=1)
+        return None, (matched, best_pos, mx, over)
+
+    n_chunks = R // chunk
+    xs = tuple(
+        x.reshape((n_chunks, chunk) + x.shape[1:])
+        for x in (q_enc, q_len, q_ts, q_ts_len, rows)
+    )
+    _, (matched, best_pos, best_ratio, over) = jax.lax.scan(step, None, xs)
+    return (matched.reshape(-1), best_pos.reshape(-1), best_ratio.reshape(-1),
+            over.reshape(-1))
+
+
 class FuzzyEngine:
     """Device-resident stage-2 scorer over a fixed truth set."""
 
@@ -71,6 +141,39 @@ class FuzzyEngine:
         self.t_len = jnp.asarray(truth_len.astype(np.int32))
         self.t_ts = jnp.asarray(ts_truth_enc)
         self.t_ts_len = jnp.asarray(ts_truth_len.astype(np.int32))
+
+    def decide(
+        self,
+        q_enc: np.ndarray, q_len: np.ndarray,       # (R, L) bucket-sliced host
+        ts_q_enc: np.ndarray, ts_q_len: np.ndarray,
+        cand_d,                                     # (R_all, K) device-resident
+        rows: np.ndarray,                           # (R,) rows of cand_d
+        tl: int,
+    ):
+        """Device decisions for a bucket of rows (see _fuzzy_decide_kernel).
+        Returns host (matched, best_pos, best_ratio, overflow) trimmed to R."""
+        cfg = self.cfg
+        R = len(rows)
+        k = int(cand_d.shape[1])
+        # bound the (C*K, tl, tl) match-mask tensor of the LCS kernel
+        chunk = int(np.clip((1 << 26) // max(k * tl * tl, 1), 8, 256))
+        rp = ((R + chunk - 1) // chunk) * chunk
+
+        def pad(x, width=None):
+            out_shape = (rp,) + (() if width is None else (width,))
+            out = np.zeros(out_shape, x.dtype)
+            out[:R] = x if width is None else x[:, :width]
+            return jnp.asarray(out)
+
+        matched, best_pos, best_ratio, over = _fuzzy_decide_kernel(
+            pad(q_enc, tl), pad(q_len.astype(np.int32)),
+            pad(ts_q_enc, tl), pad(ts_q_len.astype(np.int32)),
+            self.t_enc, self.t_len, self.t_ts, self.t_ts_len,
+            cand_d, pad(rows.astype(np.int32)),
+            tl=tl, threshold=cfg.levenshtein_ratio_threshold, chunk=chunk,
+        )
+        return (np.asarray(matched)[:R], np.asarray(best_pos)[:R],
+                np.asarray(best_ratio)[:R], np.asarray(over)[:R])
 
     def ratios(
         self,

@@ -204,6 +204,65 @@ def _topk_packed_pallas(packed, sums_perm, buf, nt, *, u, qb, lq, k, tb,
     )
 
 
+@partial(jax.jit, static_argnames=("u", "qb", "lq", "k", "tb", "uc",
+                                   "score_dtype", "recall_target", "impl",
+                                   "title_block", "interpret"))
+def _topk_multiblock(
+    packed: jnp.ndarray,      # uint8[V, ntp//8]
+    sums: jnp.ndarray,        # float32[ntp] (π-permuted for impl='pallas')
+    idf_tbl: jnp.ndarray,     # float32[V] ln(N/df), 0 unobserved
+    fb_tbl: jnp.ndarray,      # float32[V] idf-or-max-idf fallback
+    buf: jnp.ndarray,         # int32[G*(U + QB*LQ)] — ONE transfer per group
+    nt: jnp.ndarray,          # int32 scalar
+    *,
+    u: int, qb: int, lq: int, k: int, tb: int, uc: int,
+    score_dtype: str, recall_target: float, impl: str,
+    title_block: int, interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Score G query blocks in ONE device program (lax.scan over blocks).
+
+    Per-block IDF weights and the max-intersection bound are reconstructed
+    on device from resident tables — the host ships only trigram ids and
+    positions (~64 KB/block through a ~40 MB/s tunnel with 10-30 ms RTT;
+    one dispatch per block was the round-1 bottleneck, not the math).
+    Returns (float32[G, QB, k], int32[G, QB, k]).
+    """
+    dtype = jnp.dtype(score_dtype)
+    G = buf.shape[0] // (u + qb * lq)
+    flat = buf.reshape(G, u + qb * lq)
+    unions = flat[:, :u]                                   # (G, U)
+    w_pos = flat[:, u:].reshape(G, qb, lq)                 # (G, QB, LQ)
+
+    def step(_, x):
+        union_ids, wp = x
+        zero = jnp.zeros(1, jnp.float32)
+        uidf = jnp.concatenate([idf_tbl[union_ids], zero])  # (U+1,) pad→0
+        ufb = jnp.concatenate([fb_tbl[union_ids], zero])
+        wp_c = jnp.minimum(wp, u)
+        w_val = uidf[wp_c]                                  # (QB, LQ)
+        maxint = ufb[wp_c].sum(axis=1)                      # (QB,)
+        if impl == "pallas":
+            from doppelspeller_tpu.ops.jaccard_pallas import jaccard_topk_pallas_v2
+
+            w = densify_weights(wp_c, w_val, u, dtype)
+            vals, pos = jaccard_topk_pallas_v2(
+                packed, sums, w, maxint, union_ids, nt,
+                k=k, tb=tb, uc=uc, score_dtype=score_dtype,
+                recall_target=recall_target, interpret=interpret,
+            )
+        else:
+            w = densify_weights(wp_c, w_val, u, dtype)
+            rows = packed[union_ids]
+            vals, pos = topk_over_blocks(
+                rows, sums, w, maxint, jnp.int32(0), nt,
+                k=k, title_block=title_block, score_dtype=score_dtype,
+            )
+        return None, (vals, pos)
+
+    _, (vals, pos) = jax.lax.scan(step, None, (unions, w_pos))
+    return vals, pos
+
+
 class JaccardScorer:
     """Device-resident retrieval engine over a TruthIndex.
 
@@ -231,6 +290,66 @@ class JaccardScorer:
             self.sums_perm_d = jax.device_put(
                 permute_sums(index.sums, self._pallas_tb), device
             )
+        # resident IDF tables for on-device weight/max-intersection
+        # reconstruction (the multiblock path ships only ids + positions)
+        self.idf_d = jax.device_put(index.idf, device)
+        fb = np.where(index.df > 0, index.idf, np.float32(index.max_idf))
+        self.fb_d = jax.device_put(fb.astype(np.float32), device)
+
+    def _group_buffers(self, plans, g: int):
+        """Stack plans into padded G-sized int32 buffers (ONE transfer each).
+        Padding blocks reuse zeros (their outputs are discarded)."""
+        u = plans[0].union_ids.shape[0]
+        qb, lq = plans[0].w_pos.shape
+        per = u + qb * lq
+        groups = []
+        for s in range(0, len(plans), g):
+            chunk = plans[s : s + g]
+            buf = np.zeros(g * per, dtype=np.int32)
+            for j, p in enumerate(chunk):
+                buf[j * per : j * per + u] = p.union_ids
+                buf[j * per + u : (j + 1) * per] = p.w_pos.reshape(-1)
+            groups.append((chunk, buf))
+        return groups, u, qb, lq
+
+    def topk_device(
+        self,
+        queries: TitleSet,
+        k: Optional[int] = None,
+        rows: Optional[np.ndarray] = None,
+    ):
+        """Top-k for every query, results LEFT ON DEVICE.
+
+        Returns (pending, plans) where ``pending`` is a list of
+        (plan_chunk, vals (G, QB, k) f32, pos (G, QB, k) i32) device arrays
+        in plan order.  Callers fetch or feed the next cascade stage.
+        """
+        k = k or self.cfg.top_n_predicting
+        if self.index.num_titles < k:
+            raise ValueError(f"index has {self.index.num_titles} titles < k={k}")
+        plans = plan_query_blocks(queries, self.index, self.cfg, rows=rows)
+        if not plans:
+            return [], plans
+        g = max(1, int(getattr(self.cfg, "dispatch_blocks", 16)))
+        groups, u, qb, lq = self._group_buffers(plans, g)
+        use_pallas = self.impl.startswith("pallas")
+        pending = []
+        for chunk, buf in groups:
+            vals, pos = _topk_multiblock(
+                self.packed_d,
+                self.sums_perm_d if use_pallas else self.sums_d,
+                self.idf_d, self.fb_d,
+                jnp.asarray(buf), self.nt_d,
+                u=u, qb=qb, lq=lq, k=k,
+                tb=self._pallas_tb, uc=getattr(self.cfg, "pallas_union_chunk", 512),
+                score_dtype=self.score_dtype,
+                recall_target=getattr(self.cfg, "topk_recall_target", 1.0),
+                impl="pallas" if use_pallas else "xla",
+                title_block=self.cfg.title_block,
+                interpret=(self.impl == "pallas_interpret"),
+            )
+            pending.append((chunk, vals, pos))
+        return pending, plans
 
     def topk(
         self,
@@ -246,58 +365,30 @@ class JaccardScorer:
         import time as _time
 
         k = k or self.cfg.top_n_predicting
-        if self.index.num_titles < k:
-            raise ValueError(f"index has {self.index.num_titles} titles < k={k}")
         t0 = _time.time()
-        plans = plan_query_blocks(queries, self.index, self.cfg, rows=rows)
-        t_plan = _time.time() - t0
+        pending, plans = self.topk_device(queries, k=k, rows=rows)
+        t_dispatch = _time.time() - t0
         n = sum(p.n_valid for p in plans)
         out_scores = np.zeros((n, k), dtype=np.float32)
         out_pos = np.zeros((n, k), dtype=np.int32)
-        row_of = {}
         if rows is None:
             rows_all = np.arange(len(queries))
         else:
             rows_all = np.asarray(rows)
-        for j, r in enumerate(rows_all):
-            row_of[int(r)] = j
-        # dispatch every block first (async), fetch afterwards — the device
-        # streams through blocks while the host prepares/fetches others
-        use_pallas = self.impl.startswith("pallas")
-        pending = []
-        for plan in plans:
-            buf = jnp.asarray(plan.packed_args())
-            u = plan.union_ids.shape[0]
-            qb, lq = plan.w_pos.shape
-            if use_pallas:
-                outs = _topk_packed_pallas(
-                    self.packed_d, self.sums_perm_d, buf, self.nt_d,
-                    u=u, qb=qb, lq=lq, k=k, tb=self._pallas_tb,
-                    score_dtype=self.score_dtype,
-                    interpret=(self.impl == "pallas_interpret"),
-                    recall_target=getattr(self.cfg, "topk_recall_target", 1.0),
+        row_of = {int(r): j for j, r in enumerate(rows_all)}
+        for chunk, vals, pos in pending:
+            vals = np.asarray(vals)          # (G, QB, k) — one fetch per group
+            pos = np.asarray(pos)
+            for s, plan in enumerate(chunk):
+                j = np.fromiter(
+                    (row_of[int(q)] for q in plan.query_rows), dtype=np.int64,
+                    count=plan.n_valid,
                 )
-            else:
-                outs = _topk_packed_xla(
-                    self.packed_d, self.sums_d, buf, self.nt_d,
-                    u=u, qb=qb, lq=lq, k=k,
-                    title_block=self.cfg.title_block,
-                    score_dtype=self.score_dtype,
-                )
-            pending.append((plan, outs))
-        t_dispatch = _time.time() - t0 - t_plan
-        for plan, (vals, idxs) in pending:
-            vals = np.asarray(vals)[: plan.n_valid]
-            idxs = np.asarray(idxs)[: plan.n_valid]
-            j = np.fromiter(
-                (row_of[int(q)] for q in plan.query_rows), dtype=np.int64,
-                count=plan.n_valid,
-            )
-            out_scores[j] = vals
-            out_pos[j] = idxs
+                out_scores[j] = vals[s, : plan.n_valid]
+                out_pos[j] = pos[s, : plan.n_valid]
         LOGGER.info(
-            "topk: %d blocks | plan %.2fs | dispatch %.2fs | fetch %.2fs",
-            len(plans), t_plan, t_dispatch, _time.time() - t0 - t_plan - t_dispatch,
+            "topk: %d blocks / %d dispatches | dispatch %.2fs | fetch %.2fs",
+            len(plans), len(pending), t_dispatch, _time.time() - t0 - t_dispatch,
         )
         return out_scores, out_pos
 

@@ -89,6 +89,123 @@ def _score_kernel(
         out_ref[:, :] = jnp.where(tpos < nt, jacc, -1.0)
 
 
+def _score_kernel_v2(
+    w_ref,        # (QB, U) score-dtype weights — FULL union, VMEM-resident
+    rows_ref,     # (U, TB//8) u8 — this title-tile's packed rows
+    sums_ref,     # (1, TB) f32 — π-permuted idf sums for this tile
+    maxint_ref,   # (QB, 1) f32
+    nt_ref,       # (1, 1) i32 in SMEM
+    out_ref,      # (QB, TB) f32 jaccard scores (π-permuted)
+    *, score_dtype, uc,
+):
+    """One grid step per title tile; the union axis is an inner fori_loop
+    (the v1 kernel used a second grid axis — 8192 grid steps per block whose
+    fixed overheads dominated the ~1.4us matmuls; here it is 64-256 steps)."""
+    QB = out_ref.shape[0]
+    TB = out_ref.shape[1]
+    nb = TB // 8
+    tile = pl.program_id(0)
+    U = w_ref.shape[1]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, TB), 1)
+    shift = (col // nb).astype(jnp.int32)                 # bit index per column
+
+    def chunk(j, acc):
+        rows_c = rows_ref[pl.ds(j * uc, uc), :]           # (uc, TB//8)
+        rep = pltpu.repeat(rows_c, 8, axis=1).astype(jnp.int32)   # (uc, TB)
+        bits = ((rep >> shift) & 1).astype(score_dtype)
+        wc = w_ref[:, pl.ds(j * uc, uc)]                  # (QB, uc)
+        return acc + jax.lax.dot_general(
+            wc, bits,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    acc = jax.lax.fori_loop(
+        0, U // uc, chunk, jnp.zeros((QB, TB), jnp.float32)
+    )
+    nt = nt_ref[0, 0]
+    denom = sums_ref[:] + maxint_ref[:] - acc
+    jacc = acc / jnp.maximum(denom, 1e-9)
+    tpos = tile * TB + 8 * (col % nb) + col // nb
+    out_ref[:, :] = jnp.where(tpos < nt, jacc, -1.0)
+
+
+@partial(jax.jit, static_argnames=("k", "tb", "uc", "score_dtype", "interpret",
+                                   "recall_target"))
+def jaccard_topk_pallas_v2(
+    packed: jnp.ndarray,      # uint8[V, ntp//8]
+    sums_perm: jnp.ndarray,   # float32[ntp] — π-permuted
+    weights: jnp.ndarray,     # score-dtype[QB, U] dense weights
+    maxint: jnp.ndarray,      # float32[QB]
+    union_ids: jnp.ndarray,   # int32[U]
+    nt: jnp.ndarray,          # int32 scalar
+    *,
+    k: int,
+    tb: int = 2048,
+    uc: int = 512,
+    score_dtype: str = "bfloat16",
+    interpret: bool = False,
+    recall_target: float = 1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused retrieval step (v2 tiling).  Returns (f32[QB, k], i32[QB, k])."""
+    dtype = jnp.dtype(score_dtype)
+    U = union_ids.shape[0]
+    QB = weights.shape[0]
+    uc = min(uc, U)
+    if U % uc:
+        uc = U
+    rows = packed[union_ids]                              # (U, ntp//8)
+    ntp = rows.shape[1] * 8
+    if ntp % tb:
+        raise ValueError(f"padded title count {ntp} not divisible by tile {tb}")
+    n_tiles = ntp // tb
+
+    jacc = pl.pallas_call(
+        partial(_score_kernel_v2, score_dtype=dtype, uc=uc),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((QB, U), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, tb // 8), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((QB, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (QB, tb), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((QB, ntp), jnp.float32),
+        interpret=interpret,
+    )(
+        weights.astype(dtype),
+        rows,
+        sums_perm.reshape(1, ntp),
+        maxint.reshape(QB, 1),
+        nt.reshape(1, 1),
+    )
+    return select_topk_permuted(jacc, k, tb, recall_target)
+
+
+def select_topk_permuted(jacc: jnp.ndarray, k: int, tb: int, recall_target: float):
+    """Top-k over a π-permuted score matrix, un-permuting positions."""
+    QB, ntp = jacc.shape
+    if recall_target < 1.0:
+        mv, gidx = jax.lax.approx_max_k(jacc, k, recall_target=recall_target)
+        mp = unpermute_positions(gidx.astype(jnp.int32), tb)
+        return mv, mp.astype(jnp.int32)
+    merge_tb = 32768 if ntp % 32768 == 0 else tb
+    nblk = ntp // merge_tb
+    v = jacc.reshape(QB, nblk, merge_tb)
+    vals, idx = jax.lax.top_k(v, k)
+    gidx = idx + (jnp.arange(nblk, dtype=jnp.int32) * merge_tb)[None, :, None]
+    tpos = unpermute_positions(gidx, tb)
+    flat_v = vals.reshape(QB, nblk * k)
+    flat_p = tpos.reshape(QB, nblk * k)
+    mv, sel = jax.lax.top_k(flat_v, k)
+    mp = jnp.take_along_axis(flat_p, sel, axis=1)
+    return mv, mp.astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("k", "tb", "uc", "score_dtype", "interpret",
                                    "recall_target"))
 def jaccard_topk_pallas(

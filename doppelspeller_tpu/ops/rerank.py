@@ -26,35 +26,15 @@ from doppelspeller_tpu.ops.features import _features_kernel, resolve_window_impl
 LOGGER = logging.getLogger(__name__)
 
 
-@partial(jax.jit, static_argnames=("tl", "wl", "depth", "window_impl"))
-def _fused_rerank_kernel(
-    # query-side device arrays (per predict call)
-    q_enc, q_len, q_wo, q_wo_len,
-    # truth-side device arrays (resident)
-    t_enc, t_len, t_start, t_wlen, t_nwords, t_counts,
-    # model arrays (resident)
+def _score_gathered_pairs(
+    qe, ql, qw, qwl,                  # (B, tl) / (B,) pair-gathered query side
+    te, tl_len, start, wlen, nwords, counts,   # pair-gathered truth side
     m_feat, m_thr, m_ml, m_val, m_leaf,
-    # per-chunk pair indices: ONE (2, B) buffer = one host→device transfer
-    pairs,
-    n_truth,
-    base_margin,
-    *, tl: int, wl: int, depth: int, window_impl: str = "xla",
+    n_truth, base_margin,
+    *, tl: int, wl: int, depth: int, window_impl: str,
 ):
-    pair_q = pairs[0]
-    pair_t = pairs[1]
-    B = pair_q.shape[0]
-    qe = q_enc[pair_q][:, :tl]
-    ql = q_len[pair_q]
-    qw = q_wo[pair_q][:, :tl]
-    qwl = jnp.maximum(q_wo_len[pair_q], 1)
-    te = t_enc[pair_t]
-    tl_len = jnp.maximum(t_len[pair_t], 1)
-    start = t_start[pair_t]
-    wlen = t_wlen[pair_t]
-    nwords = jnp.maximum(t_nwords[pair_t], 1)
-    counts = t_counts[pair_t].astype(jnp.float32)
-
-    # word chars gather: (B, W, wl)
+    """66-dim features + forest margin → probability, for B gathered pairs."""
+    B = qe.shape[0]
     W = start.shape[1]
     j = jnp.arange(wl, dtype=jnp.int32)
     idx = jnp.clip(start[:, :, None] + j[None, None, :], 0, te.shape[1] - 1)
@@ -75,6 +55,87 @@ def _fused_rerank_kernel(
         feats, m_feat, m_thr, m_ml, m_val, m_leaf, depth, base_margin
     )
     return jax.nn.sigmoid(margins)
+
+
+@partial(jax.jit, static_argnames=("tl", "wl", "depth", "window_impl"))
+def _fused_rerank_kernel(
+    # query-side device arrays (per predict call)
+    q_enc, q_len, q_wo, q_wo_len,
+    # truth-side device arrays (resident)
+    t_enc, t_len, t_start, t_wlen, t_nwords, t_counts,
+    # model arrays (resident)
+    m_feat, m_thr, m_ml, m_val, m_leaf,
+    # per-chunk pair indices: ONE (2, B) buffer = one host→device transfer
+    pairs,
+    n_truth,
+    base_margin,
+    *, tl: int, wl: int, depth: int, window_impl: str = "xla",
+):
+    pair_q = pairs[0]
+    pair_t = pairs[1]
+    return _score_gathered_pairs(
+        q_enc[pair_q][:, :tl], q_len[pair_q],
+        q_wo[pair_q][:, :tl], jnp.maximum(q_wo_len[pair_q], 1),
+        t_enc[pair_t], jnp.maximum(t_len[pair_t], 1),
+        t_start[pair_t], t_wlen[pair_t],
+        jnp.maximum(t_nwords[pair_t], 1), t_counts[pair_t].astype(jnp.float32),
+        m_feat, m_thr, m_ml, m_val, m_leaf, n_truth, base_margin,
+        tl=tl, wl=wl, depth=depth, window_impl=window_impl,
+    )
+
+
+@partial(jax.jit, static_argnames=("tl", "wl", "depth", "window_impl", "chunk",
+                                   "threshold"))
+def _rerank_decide_kernel(
+    q_enc, q_len, q_wo, q_wo_len,      # (R, TL) bucket-sliced query arrays
+    t_enc, t_len, t_start, t_wlen, t_nwords, t_counts,   # resident
+    m_feat, m_thr, m_ml, m_val, m_leaf,                  # resident
+    cand,                              # (R_all, K) int32 device-resident top-k
+    rows,                              # (R,) int32 rows of ``cand`` to process
+    n_truth, base_margin,
+    *, tl: int, wl: int, depth: int, window_impl: str, chunk: int,
+    threshold: float,
+):
+    """Stage-3 decision for a bucket of query rows entirely on device.
+
+    Per row: GBT probability for all K candidates, per-row max; matched iff
+    the max is unique and > threshold (predict.py:243-252).  Returns
+    (matched bool[R], best_pos int32[R] — truth position of the argmax
+    candidate, best_pred float32[R]).
+    """
+    K = cand.shape[1]
+    R = rows.shape[0]
+
+    def step(_, sl):
+        qe, ql, qw, qwl, rws = sl                   # (C, ...) slice
+        C = qe.shape[0]
+        cd = cand[rws]                              # (C, K)
+        pair_t = cd.reshape(-1)
+        rep = lambda x: jnp.repeat(x, K, axis=0)
+        preds = _score_gathered_pairs(
+            rep(qe)[:, :tl], jnp.repeat(ql, K),
+            rep(qw)[:, :tl], jnp.maximum(jnp.repeat(qwl, K), 1),
+            t_enc[pair_t], jnp.maximum(t_len[pair_t], 1),
+            t_start[pair_t], t_wlen[pair_t],
+            jnp.maximum(t_nwords[pair_t], 1),
+            t_counts[pair_t].astype(jnp.float32),
+            m_feat, m_thr, m_ml, m_val, m_leaf, n_truth, base_margin,
+            tl=tl, wl=wl, depth=depth, window_impl=window_impl,
+        ).reshape(C, K)
+        mx = preds.max(axis=1)
+        cnt = (preds == mx[:, None]).sum(axis=1)
+        matched = (cnt == 1) & (mx > threshold)
+        best_col = jnp.argmax(preds, axis=1).astype(jnp.int32)
+        best_pos = jnp.take_along_axis(cd, best_col[:, None], axis=1)[:, 0]
+        return None, (matched, best_pos, mx)
+
+    n_chunks = R // chunk
+    xs = tuple(
+        x.reshape((n_chunks, chunk) + x.shape[1:])
+        for x in (q_enc, q_len, q_wo, q_wo_len, rows)
+    )
+    _, (matched, best_pos, best_pred) = jax.lax.scan(step, None, xs)
+    return matched.reshape(-1), best_pos.reshape(-1), best_pred.reshape(-1)
 
 
 class RerankEngine:
@@ -108,6 +169,43 @@ class RerankEngine:
         self.depth = model.depth
         self.base_margin = float(np.log(model.base_score / (1 - model.base_score)))
         self._window_impl = resolve_window_impl(self.cfg)
+
+    def decide(
+        self,
+        q_enc: np.ndarray, q_len: np.ndarray,       # (R, L) bucket-sliced host
+        q_wo: np.ndarray, q_wo_len: np.ndarray,
+        cand_d,                                     # (R_all, K) device-resident
+        rows: np.ndarray,                           # (R,) rows of cand_d
+        tl: int, wl: int,
+    ):
+        """Device decisions for a bucket of rows (see _rerank_decide_kernel).
+        Returns host (matched, best_pos, best_pred) trimmed to R."""
+        cfg = self.cfg
+        R = len(rows)
+        k = int(cand_d.shape[1])
+        # pairs per scan step bounded by the window-DP footprint
+        chunk = int(np.clip((1 << 22) // max(tl * wl * k // 32, 1), 1, 128))
+        rp = ((R + chunk - 1) // chunk) * chunk
+
+        def pad(x, width=None):
+            out_shape = (rp,) + (() if width is None else (width,))
+            out = np.zeros(out_shape, x.dtype)
+            out[:R] = x if width is None else x[:, :width]
+            return jnp.asarray(out)
+
+        matched, best_pos, best_pred = _rerank_decide_kernel(
+            pad(q_enc, tl), pad(q_len.astype(np.int32)),
+            pad(q_wo, tl), pad(q_wo_len.astype(np.int32)),
+            self.t_enc, self.t_len, self.t_start, self.t_wlen,
+            self.t_nwords, self.t_counts,
+            *self.m,
+            cand_d, pad(rows.astype(np.int32)),
+            self.n_truth, self.base_margin,
+            tl=tl, wl=wl, depth=self.depth, window_impl=self._window_impl,
+            chunk=chunk, threshold=cfg.prediction_probability_threshold,
+        )
+        return (np.asarray(matched)[:R], np.asarray(best_pos)[:R],
+                np.asarray(best_pred)[:R])
 
     def score(
         self,

@@ -78,6 +78,23 @@ class PredictionResult:
         }
 
 
+def _length_probe(cand_d, t_len_d, t_wlen_max_d):
+    """Per-row max candidate (length, word length) — ONE tiny device call so
+    the host can pick exact static buckets for the device cascade without
+    fetching the (R, K) candidate matrix."""
+    import jax
+
+    @jax.jit
+    def probe(cand, t_len, t_wlen_max):
+        flat = cand.reshape(-1)
+        tl = t_len[flat].reshape(cand.shape).max(axis=1)
+        wl = t_wlen_max[flat].reshape(cand.shape).max(axis=1)
+        return tl, wl
+
+    tl, wl = probe(cand_d, t_len_d, t_wlen_max_d)
+    return np.asarray(tl), np.asarray(wl)
+
+
 def _groupby_max_unique(q_idx: np.ndarray, values: np.ndarray, n_queries: int):
     """For rows (q_idx, value): per-query max and whether it is achieved by
     exactly one row.  Returns (max_val[nq], best_row[nq], unique[nq])."""
@@ -321,6 +338,139 @@ class Matcher:
         res.stage_counts["model"] = hits
         LOGGER.info("Matched %d titles (model stage)", hits)
 
+    # ------------------------------------------------- device-cascade stages
+
+    def _t_wlen_max_d(self):
+        if getattr(self, "_twlm_d", None) is None:
+            import jax.numpy as jnp
+
+            _, wlen, _ = self.truth_words
+            self._twlm_d = jnp.asarray(wlen.max(axis=1).astype(np.int32))
+        return self._twlm_d
+
+    def _device_cand_matrix(self, queries: TitleSet, rem: np.ndarray, k: int):
+        """Retrieval with the (R, k) candidate matrix LEFT ON DEVICE, rows in
+        ``rem`` order.  Only the compaction index vector crosses to the device;
+        nothing comes back to the host (VERDICT round-1: the host round-trip
+        of cand_pos was the cascade's synchronization bottleneck)."""
+        import jax.numpy as jnp
+
+        pending, plans = self.scorer.topk_device(queries, k=k, rows=rem)
+        parts, sel, off = [], [], 0
+        for chunk, vals, pos in pending:
+            G, QB, _ = pos.shape
+            parts.append(pos.reshape(G * QB, k))
+            for s, plan in enumerate(chunk):
+                base = off + s * QB
+                sel.append(np.arange(base, base + plan.n_valid, dtype=np.int64))
+            off += G * QB
+        sel = np.concatenate(sel)
+        if len(sel) != len(rem):
+            raise AssertionError("plan rows do not cover the query subset")
+        cand_all = jnp.concatenate(parts, axis=0)
+        return cand_all[jnp.asarray(sel)]
+
+    def _stage_fuzzy_device(
+        self, queries: TitleSet, rem: np.ndarray, cand_d, tl_max: np.ndarray,
+        res: PredictionResult,
+    ) -> None:
+        cfg = self.cfg
+        R = len(rem)
+        engine = self._fuzzy_engine()
+        ts_q = [self._token_sort(queries.transformed[r]) for r in rem]
+        ts_q_enc = T.encode_titles(ts_q, cfg.max_characters)
+        ts_q_len = np.array(
+            [min(len(s), cfg.max_characters) for s in ts_q], np.int32
+        )
+        q_enc = queries.encoded[rem]
+        q_len = queries.lengths[rem].astype(np.int32)
+
+        pair_len = np.maximum(q_len, tl_max)
+        buckets = [b for b in cfg.length_buckets if b < cfg.max_characters]
+        buckets.append(cfg.max_characters)
+        bi = np.searchsorted(np.asarray(buckets), pair_len)
+
+        hits = 0
+        overflow_rows = []
+        results = []
+        for i, tl in enumerate(buckets):
+            rows_b = np.flatnonzero(bi == i)
+            if not len(rows_b):
+                continue
+            results.append((rows_b, engine.decide(
+                q_enc[rows_b], q_len[rows_b],
+                ts_q_enc[rows_b], ts_q_len[rows_b],
+                cand_d, rows_b, tl,
+            )))
+        for rows_b, (m, bp, br, ov) in results:
+            if ov.any():  # safety net; exact bucketing makes this unreachable
+                overflow_rows.append(rows_b[ov])
+                m = m & ~ov
+            for j in np.flatnonzero(m):
+                qi = rem[rows_b[j]]
+                pos = int(bp[j])
+                res.match_title_id[qi] = int(self.index.title_ids[pos])
+                res.prediction[qi] = 1.0
+                res.stage[qi] = STAGE_FUZZY
+                res.match_transformed[qi] = self.truth.transformed[pos]
+                hits += 1
+        res.stage_counts["fuzzy"] = hits
+        if overflow_rows:
+            import jax.numpy as jnp
+
+            ov_rows = np.concatenate(overflow_rows)
+            LOGGER.warning("fuzzy device overflow on %d rows; host redo", len(ov_rows))
+            cand_sub = np.asarray(cand_d[jnp.asarray(ov_rows)])
+            self._stage_fuzzy(queries, rem[ov_rows], cand_sub, res)
+            res.stage_counts["fuzzy"] += hits  # _stage_fuzzy overwrote the count
+        LOGGER.info("Matched %d titles so far (fuzzy)", res.stage_counts["fuzzy"])
+
+    def _stage_model_device(
+        self, queries: TitleSet, rem: np.ndarray, rows2: np.ndarray, cand_d,
+        tl_max: np.ndarray, wl_max: np.ndarray, res: PredictionResult,
+    ) -> None:
+        """rows2: positions within ``rem``/``cand_d`` still unmatched."""
+        from doppelspeller_tpu.ops.features import remove_spaces_host
+
+        cfg = self.cfg
+        engine = self._rerank_engine()
+        gq = rem[rows2]
+        q_enc = queries.encoded[gq]
+        q_len = queries.lengths[gq].astype(np.int32)
+        q_wo, q_wo_len = remove_spaces_host(q_enc, q_len)
+
+        pair_len = np.maximum(q_len, tl_max[rows2])
+        buckets = [b for b in cfg.length_buckets if b < cfg.max_characters]
+        buckets.append(cfg.max_characters)
+        w_buckets = [8, 16, 32, 64, cfg.max_characters]
+        tb = np.searchsorted(np.asarray(buckets), pair_len)
+        wb = np.searchsorted(np.asarray(w_buckets), np.maximum(wl_max[rows2], 1))
+
+        hits = 0
+        results = []
+        for ti, TL in enumerate(buckets):
+            for wi, WL in enumerate(w_buckets):
+                if WL > TL:
+                    continue
+                sub = np.flatnonzero((tb == ti) & (wb == wi))
+                if not len(sub):
+                    continue
+                results.append((sub, engine.decide(
+                    q_enc[sub], q_len[sub], q_wo[sub], q_wo_len[sub],
+                    cand_d, rows2[sub], TL, WL,
+                )))
+        for sub, (m, bp, pred) in results:
+            for j in np.flatnonzero(m):
+                qi = gq[sub[j]]
+                pos = int(bp[j])
+                res.match_title_id[qi] = int(self.index.title_ids[pos])
+                res.prediction[qi] = float(pred[j])
+                res.stage[qi] = STAGE_MODEL
+                res.match_transformed[qi] = self.truth.transformed[pos]
+                hits += 1
+        res.stage_counts["model"] = hits
+        LOGGER.info("Matched %d titles (model stage)", hits)
+
     # -------------------------------------------------------------- entry
 
     def predict(self, queries: TitleSet, single: bool = False) -> PredictionResult:
@@ -344,8 +494,26 @@ class Matcher:
         t1 = _time.time()
 
         rem = np.flatnonzero(res.stage == STAGE_NONE)
+        impl = getattr(cfg, "cascade_impl", "auto")
+        use_device = not single and len(rem) > 0 and (
+            impl == "device" or (impl == "auto" and len(rem) >= 2048)
+        )
         t2 = t3 = t4 = t1
-        if len(rem):
+        if use_device:
+            cand_d = self._device_cand_matrix(queries, rem, cfg.top_n_predicting)
+            tl_max, wl_max = _length_probe(
+                cand_d, self._fuzzy_engine().t_len, self._t_wlen_max_d()
+            )
+            t2 = _time.time()
+            self._stage_fuzzy_device(queries, rem, cand_d, tl_max, res)
+            t3 = _time.time()
+            rows2 = np.flatnonzero(res.stage[rem] == STAGE_NONE)
+            if len(rows2):
+                self._stage_model_device(
+                    queries, rem, rows2, cand_d, tl_max, wl_max, res
+                )
+            t4 = _time.time()
+        elif len(rem):
             _, cand_pos = self.scorer.topk(queries, k=cfg.top_n_predicting, rows=rem)
             t2 = _time.time()
             self._stage_fuzzy(queries, rem, cand_pos, res)

@@ -72,6 +72,74 @@ def test_pallas_topk_matches_xla():
         assert (same | ties).all()
 
 
+def test_pallas_v2_matches_xla():
+    rng = random.Random(11)
+    cfg = Config(data_path="/tmp/x", title_block=128, query_block=8,
+                 score_dtype="float32")
+    truth = TitleSet.from_titles(_titles(640, rng), config=cfg)
+    queries = TitleSet.from_titles(_titles(15, rng) + [truth.transformed[3]], config=cfg)
+    index = build_truth_index(truth, cfg)
+    plans = plan_query_blocks(queries, index, cfg)
+    k = 12
+    tb = 128
+    from doppelspeller_tpu.ops.jaccard import densify_weights
+    from doppelspeller_tpu.ops.jaccard_pallas import jaccard_topk_pallas_v2
+
+    sums_perm = jnp.asarray(permute_sums(index.sums, tb))
+    for plan in plans:
+        v1, p1 = jaccard_topk_kernel(
+            jnp.asarray(index.packed), jnp.asarray(index.sums),
+            jnp.asarray(plan.union_ids), jnp.asarray(plan.w_pos),
+            jnp.asarray(plan.w_val), jnp.asarray(plan.max_intersection),
+            jnp.int32(index.num_titles),
+            k=k, title_block=cfg.title_block, score_dtype="float32",
+        )
+        w = densify_weights(
+            jnp.asarray(plan.w_pos), jnp.asarray(plan.w_val),
+            plan.union_ids.shape[0], jnp.float32,
+        )
+        v2, p2 = jaccard_topk_pallas_v2(
+            jnp.asarray(index.packed), sums_perm,
+            w, jnp.asarray(plan.max_intersection),
+            jnp.asarray(plan.union_ids), jnp.int32(index.num_titles),
+            k=k, tb=tb, uc=64, score_dtype="float32", interpret=True,
+        )
+        n = plan.n_valid
+        np.testing.assert_allclose(np.asarray(v1)[:n], np.asarray(v2)[:n],
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_multiblock_matches_per_block():
+    """The grouped scan dispatch (on-device weight reconstruction) must equal
+    the per-block kernel with host-computed weights."""
+    rng = random.Random(13)
+    cfg = Config(data_path="/tmp/x", title_block=128, query_block=8,
+                 score_dtype="float32", retrieval_impl="xla", dispatch_blocks=3)
+    truth = TitleSet.from_titles(_titles(500, rng), config=cfg)
+    # enough queries for several blocks incl. a padded tail group
+    queries = TitleSet.from_titles(_titles(61, rng) + [truth.transformed[7]], config=cfg)
+    index = build_truth_index(truth, cfg)
+
+    scorer = JaccardScorer(index, cfg)
+    s_new, p_new = scorer.topk(queries, k=10)
+
+    # per-block reference path
+    plans = plan_query_blocks(queries, index, cfg)
+    s_ref = np.zeros_like(s_new)
+    p_ref = np.zeros_like(p_new)
+    for plan in plans:
+        v, p = jaccard_topk_kernel(
+            jnp.asarray(index.packed), jnp.asarray(index.sums),
+            jnp.asarray(plan.union_ids), jnp.asarray(plan.w_pos),
+            jnp.asarray(plan.w_val), jnp.asarray(plan.max_intersection),
+            jnp.int32(index.num_titles),
+            k=10, title_block=cfg.title_block, score_dtype="float32",
+        )
+        s_ref[plan.query_rows] = np.asarray(v)[: plan.n_valid]
+        p_ref[plan.query_rows] = np.asarray(p)[: plan.n_valid]
+    np.testing.assert_allclose(s_new, s_ref, rtol=1e-5, atol=1e-6)
+
+
 def test_scorer_uses_pallas_impl():
     rng = random.Random(5)
     cfg = Config(data_path="/tmp/x", title_block=128, query_block=8,

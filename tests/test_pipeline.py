@@ -196,3 +196,18 @@ def test_output_csv_format(world, trained, tmp_path):
 
     df = pd.read_csv(path, sep="|")
     assert (df["test_index"].values == np.sort(test.ids)).all()
+
+
+def test_device_cascade_matches_host(world, trained):
+    """The on-device cascade (device-resident candidates, scan-batched fuzzy
+    and model decisions) must produce the host path's exact output."""
+    cfg, truth, train, test, actuals = world
+    model, _ = trained
+    m_host = Matcher(cfg.with_(cascade_impl="host"), truth=truth, model=model)
+    m_dev = Matcher(cfg.with_(cascade_impl="device"), truth=truth, model=model)
+    r_host = m_host.predict(test)
+    r_dev = m_dev.predict(test)
+    np.testing.assert_array_equal(r_host.match_title_id, r_dev.match_title_id)
+    np.testing.assert_array_equal(r_host.stage, r_dev.stage)
+    np.testing.assert_allclose(r_host.prediction, r_dev.prediction, rtol=1e-5)
+    assert r_host.stage_counts == r_dev.stage_counts
