@@ -12,6 +12,11 @@ test:
 lint:
 	$(PYTHON) scripts/lint.py
 
+# full train -> predict -> accuracy on the reference example dataset;
+# asserts custom error <= 700 and writes PARITY.json (reproducible parity)
+example-parity:
+	$(PYTHON) scripts/example_parity.py
+
 stage-example-data:
 	$(PYTHON) -m doppelspeller_tpu.cli stage-example-data-set
 

@@ -102,8 +102,15 @@ def train_model():
 
 
 @cli.command()
+@click.option("--devices", default=0, type=int,
+              help="Run on an N-device mesh: truth index sharded over the "
+                   "title axis, fuzzy/model stages data-parallel over rows. "
+                   "0 = single device.")
+@click.option("--platform", default=None,
+              help="Device platform for the mesh (e.g. 'cpu' to use virtual "
+                   "CPU devices via --xla_force_host_platform_device_count).")
 @time_usage
-def generate_predictions():
+def generate_predictions(devices, platform):
     """Generate predictions for the test file."""
     from doppelspeller_tpu.config import get_config
     from doppelspeller_tpu.pipeline import Matcher
@@ -111,7 +118,12 @@ def generate_predictions():
 
     cfg = get_config()
     LOGGER.info("Generating the predictions!")
-    matcher = Matcher(cfg)
+    mesh = None
+    if devices:
+        from doppelspeller_tpu.parallel.sharded import make_mesh
+
+        mesh = make_mesh(devices, axis=cfg.mesh_axis, platform=platform)
+    matcher = Matcher(cfg, mesh=mesh)
     result = matcher.predict(load_test_data(cfg))
     result.save_csv(cfg.final_output_path, cfg.delimiter)
     click.echo(f"output saved to {cfg.final_output_path}")

@@ -109,7 +109,7 @@ class Config:
     # the TPU tunnel costs 10-30 ms RTT per dispatch/fetch)
     dispatch_blocks: int = 16
     # union rows unpacked per inner fori step of the pallas scorer
-    pallas_union_chunk: int = 512
+    pallas_union_chunk: int = 1024
     # batched pair block for levenshtein/feature kernels
     pair_block: int = 8192
     # length buckets for DP kernels

@@ -135,12 +135,21 @@ class FuzzyEngine:
         truth_enc: np.ndarray, truth_len: np.ndarray,
         ts_truth_enc: np.ndarray, ts_truth_len: np.ndarray,
         config: Optional[Config] = None,
+        mesh=None,
     ):
         self.cfg = config or get_config()
-        self.t_enc = jnp.asarray(truth_enc)
-        self.t_len = jnp.asarray(truth_len.astype(np.int32))
-        self.t_ts = jnp.asarray(ts_truth_enc)
-        self.t_ts_len = jnp.asarray(ts_truth_len.astype(np.int32))
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            put = lambda x: jax.device_put(x, NamedSharding(mesh, P()))  # noqa: E731
+        else:
+            put = jnp.asarray
+        self._put = put
+        self.t_enc = put(truth_enc)
+        self.t_len = put(truth_len.astype(np.int32))
+        self.t_ts = put(ts_truth_enc)
+        self.t_ts_len = put(ts_truth_len.astype(np.int32))
 
     def decide(
         self,
@@ -157,20 +166,54 @@ class FuzzyEngine:
         k = int(cand_d.shape[1])
         # bound the (C*K, tl, tl) match-mask tensor of the LCS kernel
         chunk = int(np.clip((1 << 26) // max(k * tl * tl, 1), 8, 256))
-        rp = ((R + chunk - 1) // chunk) * chunk
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        step = chunk * n_dev
+        rp = ((R + step - 1) // step) * step
+
+        if self.mesh is None:
+            fn = partial(
+                _fuzzy_decide_kernel,
+                tl=tl, threshold=cfg.levenshtein_ratio_threshold, chunk=chunk,
+            )
+            put = jnp.asarray
+        else:
+            # data-parallel over the row axis: each device decides its local
+            # rows (the truth side + candidate matrix are replicated)
+            from jax.sharding import PartitionSpec as P
+
+            try:
+                from jax import shard_map
+            except ImportError:  # pragma: no cover - older jax
+                from jax.experimental.shard_map import shard_map
+
+            axis = self.mesh.axis_names[0]
+            fn = jax.jit(shard_map(
+                partial(
+                    _fuzzy_decide_kernel,
+                    tl=tl, threshold=cfg.levenshtein_ratio_threshold, chunk=chunk,
+                ),
+                mesh=self.mesh,
+                in_specs=(P(axis), P(axis), P(axis), P(axis),
+                          P(), P(), P(), P(), P(), P(axis)),
+                out_specs=(P(axis), P(axis), P(axis), P(axis)),
+                check_vma=False,
+            ))
+            from jax.sharding import NamedSharding
+
+            row_sh = NamedSharding(self.mesh, P(axis))
+            put = lambda x: jax.device_put(x, row_sh)  # noqa: E731
 
         def pad(x, width=None):
             out_shape = (rp,) + (() if width is None else (width,))
             out = np.zeros(out_shape, x.dtype)
             out[:R] = x if width is None else x[:, :width]
-            return jnp.asarray(out)
+            return put(out)
 
-        matched, best_pos, best_ratio, over = _fuzzy_decide_kernel(
+        matched, best_pos, best_ratio, over = fn(
             pad(q_enc, tl), pad(q_len.astype(np.int32)),
             pad(ts_q_enc, tl), pad(ts_q_len.astype(np.int32)),
             self.t_enc, self.t_len, self.t_ts, self.t_ts_len,
             cand_d, pad(rows.astype(np.int32)),
-            tl=tl, threshold=cfg.levenshtein_ratio_threshold, chunk=chunk,
         )
         return (np.asarray(matched)[:R], np.asarray(best_pos)[:R],
                 np.asarray(best_ratio)[:R], np.asarray(over)[:R])

@@ -149,20 +149,31 @@ class RerankEngine:
         model: GBTModel,
         n_truth: int,
         config: Optional[Config] = None,
+        mesh=None,
     ):
         self.cfg = config or get_config()
-        self.n_truth = jnp.float32(n_truth)
-        self.t_enc = jnp.asarray(truth_enc)
-        self.t_len = jnp.asarray(truth_len.astype(np.int32))
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            put = lambda x: jax.device_put(  # noqa: E731
+                np.asarray(x), NamedSharding(mesh, P())
+            )
+        else:
+            put = jnp.asarray
+        self._put = put
+        self.n_truth = put(np.float32(n_truth))
+        self.t_enc = put(truth_enc)
+        self.t_len = put(truth_len.astype(np.int32))
         start, wlen, nwords = truth_words
-        self.t_start = jnp.asarray(start)
-        self.t_wlen = jnp.asarray(wlen)
-        self.t_nwords = jnp.asarray(nwords)
-        self.t_counts = jnp.asarray(counts_matrix.astype(np.float32))
+        self.t_start = put(start)
+        self.t_wlen = put(wlen)
+        self.t_nwords = put(nwords)
+        self.t_counts = put(counts_matrix.astype(np.float32))
         self._wlen_max = wlen.max(axis=1)  # host copy for bucketing
         nt = model.best_ntree_limit or model.num_trees
         self.m = tuple(
-            jnp.asarray(a[:nt])
+            put(a[:nt])
             for a in (model.feat, model.threshold, model.missing_left,
                       model.value, model.is_leaf)
         )
@@ -183,26 +194,64 @@ class RerankEngine:
         cfg = self.cfg
         R = len(rows)
         k = int(cand_d.shape[1])
-        # pairs per scan step bounded by the window-DP footprint
-        chunk = int(np.clip((1 << 22) // max(tl * wl * k // 32, 1), 1, 128))
-        rp = ((R + chunk - 1) // chunk) * chunk
+        # pairs per scan step bounded by the window-DP footprint of the path
+        # _features_kernel will actually take (mirrors features.py pallas gate)
+        if self._window_impl.startswith("pallas") and wl <= 32 and tl % 8 == 0:
+            chunk = int(np.clip((1 << 22) // max(tl * wl * k // 32, 1), 1, 128))
+        else:
+            # XLA scan path materializes a (B, 15, tl, wl+1) int32 DP state
+            # (double-buffered) — size the chunk for ~0.25 GB
+            per_pair = 15 * tl * (wl + 1) * 4
+            chunk = int(np.clip((1 << 28) // max(per_pair * k, 1), 1, 128))
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        step = chunk * n_dev
+        rp = ((R + step - 1) // step) * step
+
+        kern = partial(
+            _rerank_decide_kernel,
+            tl=tl, wl=wl, depth=self.depth, window_impl=self._window_impl,
+            chunk=chunk, threshold=cfg.prediction_probability_threshold,
+        )
+        if self.mesh is None:
+            fn = kern
+            put = jnp.asarray
+        else:
+            # data-parallel over the row axis (truth side + model replicated)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            try:
+                from jax import shard_map
+            except ImportError:  # pragma: no cover - older jax
+                from jax.experimental.shard_map import shard_map
+
+            axis = self.mesh.axis_names[0]
+            fn = jax.jit(shard_map(
+                kern,
+                mesh=self.mesh,
+                in_specs=(P(axis), P(axis), P(axis), P(axis),
+                          P(), P(), P(), P(), P(), P(),
+                          P(), P(), P(), P(), P(),
+                          P(), P(axis), P(), P()),
+                out_specs=(P(axis), P(axis), P(axis)),
+                check_vma=False,
+            ))
+            row_sh = NamedSharding(self.mesh, P(axis))
+            put = lambda x: jax.device_put(x, row_sh)  # noqa: E731
 
         def pad(x, width=None):
             out_shape = (rp,) + (() if width is None else (width,))
             out = np.zeros(out_shape, x.dtype)
             out[:R] = x if width is None else x[:, :width]
-            return jnp.asarray(out)
+            return put(out)
 
-        matched, best_pos, best_pred = _rerank_decide_kernel(
+        matched, best_pos, best_pred = fn(
             pad(q_enc, tl), pad(q_len.astype(np.int32)),
             pad(q_wo, tl), pad(q_wo_len.astype(np.int32)),
             self.t_enc, self.t_len, self.t_start, self.t_wlen,
             self.t_nwords, self.t_counts,
             *self.m,
             cand_d, pad(rows.astype(np.int32)),
-            self.n_truth, self.base_margin,
-            tl=tl, wl=wl, depth=self.depth, window_impl=self._window_impl,
-            chunk=chunk, threshold=cfg.prediction_probability_threshold,
+            self.n_truth, self._put(np.float32(self.base_margin)),
         )
         return (np.asarray(matched)[:R], np.asarray(best_pos)[:R],
                 np.asarray(best_pred)[:R])

@@ -89,6 +89,10 @@ class ShardedJaccardScorer:
         # CPU dryrun stays hermetic when a TPU is attached)
         self._rep = NamedSharding(mesh, P())
         self.nt = jax.device_put(np.int32(index.num_titles), self._rep)
+        # resident IDF tables for on-device weight reconstruction (multiblock)
+        self.idf_d = jax.device_put(index.idf, self._rep)
+        fb = np.where(index.df > 0, index.idf, np.float32(index.max_idf))
+        self.fb_d = jax.device_put(fb.astype(np.float32), self._rep)
 
         axis = self.axis
         title_block = self.cfg.title_block
@@ -142,29 +146,107 @@ class ShardedJaccardScorer:
             self.packed_d, self.sums_d, union_ids, w_pos, w_val, maxint, self.nt
         )
 
-    def topk(self, queries, k: Optional[int] = None, rows=None):
-        """Same contract as JaccardScorer.topk, over the sharded index."""
+    def _multiblock_fn(self, u: int, qb: int, lq: int, k: int):
+        """shard_map'd scan over G query blocks: per-device local scoring +
+        local top-k, ONE all-gather for the whole group, replicated merge.
+        Mirrors jaccard._topk_multiblock with the title axis sharded."""
+        axis = self.axis
+        title_block = self.cfg.title_block
+        score_dtype = getattr(self.cfg, "score_dtype", "float32")
+
+        def fn(packed_l, sums_l, idf_tbl, fb_tbl, buf, nt):
+            from doppelspeller_tpu.ops.jaccard import densify_weights
+
+            dtype = jnp.dtype(score_dtype)
+            idx = jax.lax.axis_index(axis)
+            ntp_local = packed_l.shape[1] * 8
+            G = buf.shape[0] // (u + qb * lq)
+            flat = buf.reshape(G, u + qb * lq)
+            unions = flat[:, :u]
+            w_pos = flat[:, u:].reshape(G, qb, lq)
+
+            def step(_, x):
+                union_ids, wp = x
+                zero = jnp.zeros(1, jnp.float32)
+                uidf = jnp.concatenate([idf_tbl[union_ids], zero])
+                ufb = jnp.concatenate([fb_tbl[union_ids], zero])
+                wp_c = jnp.minimum(wp, u)
+                w_val = uidf[wp_c]
+                maxint = ufb[wp_c].sum(axis=1)
+                w = densify_weights(wp_c, w_val, u, dtype)
+                rows = packed_l[union_ids]
+                vals, pos = topk_over_blocks(
+                    rows, sums_l, w, maxint,
+                    idx.astype(jnp.int32) * ntp_local, nt,
+                    k=k, title_block=title_block, score_dtype=score_dtype,
+                )
+                return None, (vals, pos)
+
+            _, (vals, pos) = jax.lax.scan(step, None, (unions, w_pos))
+            # merge across shards: ONE all-gather for the whole group
+            all_vals = jax.lax.all_gather(vals, axis)      # (D, G, QB, k)
+            all_pos = jax.lax.all_gather(pos, axis)
+            D = all_vals.shape[0]
+            flat_v = jnp.transpose(all_vals, (1, 2, 0, 3)).reshape(G, qb, D * k)
+            flat_p = jnp.transpose(all_pos, (1, 2, 0, 3)).reshape(G, qb, D * k)
+            mv, sel = jax.lax.top_k(flat_v, k)
+            mp = jnp.take_along_axis(flat_p, sel, axis=2)
+            return mv, mp
+
+        return shard_map(
+            fn,
+            mesh=self.mesh,
+            in_specs=(P(None, axis), P(axis), P(), P(), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+
+    def topk_device(self, queries, k: Optional[int] = None, rows=None):
+        """Same contract as JaccardScorer.topk_device (results stay on the
+        mesh, replicated): returns (pending, plans)."""
         from doppelspeller_tpu.ops.ngram_index import plan_query_blocks
 
         k = k or self.cfg.top_n_predicting
         plans = plan_query_blocks(queries, self.index, self.cfg, rows=rows)
+        if not plans:
+            return [], plans
+        u = plans[0].union_ids.shape[0]
+        qb, lq = plans[0].w_pos.shape
+        g = max(1, int(getattr(self.cfg, "dispatch_blocks", 16)))
+        per = u + qb * lq
+        fn = jax.jit(self._multiblock_fn(u, qb, lq, k))
+        pending = []
+        for s in range(0, len(plans), g):
+            chunk = plans[s : s + g]
+            buf = np.zeros(g * per, dtype=np.int32)
+            for j, p in enumerate(chunk):
+                buf[j * per : j * per + u] = p.union_ids
+                buf[j * per + u : (j + 1) * per] = p.w_pos.reshape(-1)
+            vals, pos = fn(
+                self.packed_d, self.sums_d, self.idf_d, self.fb_d,
+                jax.device_put(buf, self._rep), self.nt,
+            )
+            pending.append((chunk, vals, pos))
+        return pending, plans
+
+    def topk(self, queries, k: Optional[int] = None, rows=None):
+        """Same contract as JaccardScorer.topk, over the sharded index."""
+        k = k or self.cfg.top_n_predicting
+        pending, plans = self.topk_device(queries, k=k, rows=rows)
         rows_all = np.arange(len(queries)) if rows is None else np.asarray(rows)
         row_of = {int(r): j for j, r in enumerate(rows_all)}
         out_scores = np.zeros((len(rows_all), k), np.float32)
         out_pos = np.zeros((len(rows_all), k), np.int32)
-        pending = []
-        for plan in plans:
-            outs = self.topk_kernel(
-                plan.union_ids, plan.w_pos, plan.w_val, plan.max_intersection, k,
-            )
-            pending.append((plan, outs))
-        for plan, (vals, idxs) in pending:
-            j = np.fromiter(
-                (row_of[int(q)] for q in plan.query_rows), dtype=np.int64,
-                count=plan.n_valid,
-            )
-            out_scores[j] = np.asarray(vals)[: plan.n_valid]
-            out_pos[j] = np.asarray(idxs)[: plan.n_valid]
+        for chunk, vals, pos in pending:
+            vals = np.asarray(vals)
+            pos = np.asarray(pos)
+            for s, plan in enumerate(chunk):
+                j = np.fromiter(
+                    (row_of[int(q)] for q in plan.query_rows), dtype=np.int64,
+                    count=plan.n_valid,
+                )
+                out_scores[j] = vals[s, : plan.n_valid]
+                out_pos[j] = pos[s, : plan.n_valid]
         return out_scores, out_pos
 
 

@@ -119,8 +119,15 @@ class Matcher:
         index: Optional[TruthIndex] = None,
         model: Optional[GBTModel] = None,
         use_index_checkpoint: bool = True,
+        mesh=None,
     ):
+        """``mesh``: a 1-D jax.sharding.Mesh — the truth index is sharded over
+        the title axis for retrieval (per-shard MXU scoring + ICI all-gather
+        merge) and the fuzzy/model stages run data-parallel over the query
+        rows.  Multi-chip capability per SURVEY.md §2.4 (the reference is
+        single-node; README.md:79-80 frames distribution as future work)."""
         self.cfg = config or get_config()
+        self.mesh = mesh
         self.truth = truth or load_ground_truth(self.cfg)
         if index is None and use_index_checkpoint and os.path.exists(self.cfg.index_path):
             # resume from the checkpointed index (cli.py build-index) — the
@@ -150,7 +157,12 @@ class Matcher:
                     self.cfg.index_path,
                 )
         self.index = index or build_truth_index(self.truth, self.cfg)
-        self.scorer = JaccardScorer(self.index, self.cfg)
+        if mesh is not None:
+            from doppelspeller_tpu.parallel.sharded import ShardedJaccardScorer
+
+            self.scorer = ShardedJaccardScorer(self.index, mesh, self.cfg)
+        else:
+            self.scorer = JaccardScorer(self.index, self.cfg)
         self.model = model
         self.word_counts = WordCounts(self.truth)
         # exact-match hash: duplicate transformed titles → last id wins
@@ -200,7 +212,8 @@ class Matcher:
 
             ts_enc, ts_len = self.ts_truth
             self._fuzzy = FuzzyEngine(
-                self.truth.encoded, self.truth.lengths, ts_enc, ts_len, self.cfg
+                self.truth.encoded, self.truth.lengths, ts_enc, ts_len, self.cfg,
+                mesh=self.mesh,
             )
         return self._fuzzy
 
@@ -211,6 +224,7 @@ class Matcher:
             self._rerank = RerankEngine(
                 self.truth.encoded, self.truth.lengths, self.truth_words,
                 self.counts_matrix, self._load_model(), len(self.truth), self.cfg,
+                mesh=self.mesh,
             )
         return self._rerank
 
@@ -342,10 +356,17 @@ class Matcher:
 
     def _t_wlen_max_d(self):
         if getattr(self, "_twlm_d", None) is None:
+            import jax
             import jax.numpy as jnp
 
             _, wlen, _ = self.truth_words
-            self._twlm_d = jnp.asarray(wlen.max(axis=1).astype(np.int32))
+            wlm = wlen.max(axis=1).astype(np.int32)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                self._twlm_d = jax.device_put(wlm, NamedSharding(self.mesh, P()))
+            else:
+                self._twlm_d = jnp.asarray(wlm)
         return self._twlm_d
 
     def _device_cand_matrix(self, queries: TitleSet, rem: np.ndarray, k: int):
@@ -368,7 +389,14 @@ class Matcher:
         if len(sel) != len(rem):
             raise AssertionError("plan rows do not cover the query subset")
         cand_all = jnp.concatenate(parts, axis=0)
-        return cand_all[jnp.asarray(sel)]
+        if self.mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sel_d = jax.device_put(sel, NamedSharding(self.mesh, P()))
+        else:
+            sel_d = jnp.asarray(sel)
+        return cand_all[sel_d]
 
     def _stage_fuzzy_device(
         self, queries: TitleSet, rem: np.ndarray, cand_d, tl_max: np.ndarray,

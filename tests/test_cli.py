@@ -87,6 +87,16 @@ def test_cli_full_flow(cli_env):
     assert r.exit_code == 0, r.output
     assert "Correctly matched titles" in r.output
 
+    # multi-device mesh: same output file contents
+    single = pd.read_csv(cfg.final_output_path, sep="|")
+    r = runner.invoke(
+        cli, ["-v", "generate-predictions", "--devices", "8", "--platform", "cpu"],
+        catch_exceptions=False,
+    )
+    assert r.exit_code == 0, r.output
+    meshed = pd.read_csv(cfg.final_output_path, sep="|")
+    pd.testing.assert_frame_equal(single, meshed)
+
     # exact queries must all be correct (stage 1)
     out = pd.read_csv(cfg.final_output_path, sep="|")
     assert (out.set_index("test_index").loc[range(10), "title_id"].values

@@ -78,3 +78,24 @@ def test_exact_example_titles_score_one(example):
     scores, ids = scorer.topk_title_ids(queries, k=3)
     np.testing.assert_allclose(scores[:, 0], 1.0, rtol=1e-5)
     np.testing.assert_array_equal(ids[:, 0], truth.ids[:25])
+
+
+@pytest.mark.slow
+def test_full_example_parity(tmp_path):
+    """Full train -> predict -> accuracy on the 30k/10k example set; pins the
+    README parity claim (custom error <= 700 vs reference 633).  ~minutes on
+    CPU — run explicitly: pytest -m slow tests/test_example_dataset.py."""
+    import subprocess
+    import sys
+
+    out = tmp_path / "PARITY.json"
+    r = subprocess.run(
+        [sys.executable, "scripts/example_parity.py", "--out", str(out)],
+        cwd="/root/repo", capture_output=True, text=True, timeout=3600,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    import json
+
+    parity = json.loads(out.read_text())
+    assert parity["ok"], parity
+    assert parity["ours"]["custom_error"] <= 700
