@@ -105,6 +105,11 @@ class Config:
     max_query_trigrams: int = 64
     # truth titles per inner matmul tile
     title_block: int = 32768
+    # static union-size buckets for query-block plans: each block's trigram
+    # union is padded to the smallest bucket that holds it (scoring cost is
+    # O(union); one compiled program per occupied bucket).  The largest
+    # bucket is the planner's hard cap (blocks split above it).
+    union_buckets: Tuple[int, ...] = (2048, 3072, 4096, 6144, 8192)
     # query blocks scored per device dispatch (lax.scan inside one program —
     # the TPU tunnel costs 10-30 ms RTT per dispatch/fetch)
     dispatch_blocks: int = 16
@@ -112,6 +117,9 @@ class Config:
     pallas_union_chunk: int = 1024
     # batched pair block for levenshtein/feature kernels
     pair_block: int = 8192
+    # fixed rerank dispatch size (rows per stage-3 slab; padded, so every
+    # slab reuses one compiled program per (length, word-length) bucket)
+    model_slab: int = 2048
     # length buckets for DP kernels
     length_buckets: Tuple[int, ...] = (32, 64, 128, 256)
     # mesh axis name used by the sharded index

@@ -400,13 +400,28 @@ def predict_forest_margin(
     B = X.shape[0]
     T, n_heap = feat.shape
     n_internal = 2 ** depth - 1
+    F = X.shape[1]
 
     f_int = feat[:, :n_internal]                       # (T, I)
-    x_sel = jnp.take(X, jnp.maximum(f_int, 0).reshape(-1), axis=1)
-    x_sel = x_sel.reshape(B, T, n_internal)
+    # feature gather as a one-hot matmul: the (F, T·I) selector is built from
+    # loop-invariant tree arrays (hoisted out of any enclosing scan) and the
+    # MXU does the gather — XLA's per-element column gather costs ~7 ms per
+    # 12.8k-row batch.  NaN (missing) rides through as a sentinel the matmul
+    # preserves exactly (one-hot rows have a single 1.0).
+    onehot_f = (
+        jnp.maximum(f_int, 0).reshape(-1)[None, :]
+        == jnp.arange(F, dtype=jnp.int32)[:, None]
+    ).astype(X.dtype)                                  # (F, T·I)
+    x_clean = jnp.where(jnp.isnan(X), jnp.float32(-1e30), X)
+    x_sel = jax.lax.dot_general(
+        x_clean, onehot_f,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(B, T, n_internal)
     thr_b = thr[:, :n_internal][None]
     ml_b = missing_left[:, :n_internal][None]
-    go_left = jnp.where(jnp.isnan(x_sel), ml_b, x_sel <= thr_b)
+    go_left = jnp.where(x_sel < -1e20, ml_b, x_sel <= thr_b)
     leaf_b = (is_leaf[:, :n_internal] | (f_int < 0))[None]
     n_iota = jnp.arange(n_internal, dtype=jnp.int32)[None, None, :]
     nxt = jnp.where(

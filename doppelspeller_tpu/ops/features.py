@@ -159,25 +159,31 @@ def _features_kernel(
     rec_len = jnp.where(matched, best_win_len, 1) * valid_word   # (B, W)
     seg = rec_len + valid_word.astype(jnp.int32)                 # + joiner space
     offsets = jnp.cumsum(seg, axis=1) - seg                      # exclusive
-    jw = jax.lax.broadcasted_iota(jnp.int32, (B, W, WL + 1), 2)
-    src_idx = jnp.minimum(best_p[:, :, None] + jw, TL - 1)
-    src = jnp.take_along_axis(
-        q_wo, src_idx.reshape(B, W * (WL + 1)), axis=1
-    ).reshape(B, W, WL + 1)
-    chars = jnp.where(matched[:, :, None], src, jnp.uint8(SPACE_CODE))
-    # the joiner space after each word (the trailing one is trimmed by recon_len)
-    chars = jnp.where(jw == rec_len[:, :, None], jnp.uint8(SPACE_CODE), chars)
-    write = (jw <= rec_len[:, :, None]) & valid_word[:, :, None]
-    dest = jnp.where(write, offsets[:, :, None] + jw, TL)        # TL = dropped
-    # scatter-free reconstruction: every output column selects its unique
-    # (word, char) source with a one-hot masked sum (XLA scatter on TPU is
-    # ~10x slower than this reduction)
-    p_cols = jnp.arange(TL, dtype=jnp.int32)
-    hit = dest[:, :, :, None] == p_cols                          # (B,W,WL+1,TL)
-    recon = (
-        (chars[:, :, :, None].astype(jnp.int32) * hit).sum(axis=(1, 2))
-    ).astype(jnp.uint8)                                          # (B, TL)
     recon_len = jnp.maximum(seg.sum(axis=1) - 1, 0)              # drop last space
+    # segment lookup: output position t belongs to the last word whose
+    # segment start is ≤ t (valid words form a prefix, so the cumulative
+    # indicator is monotone in w and its backward difference is a free
+    # one-hot).  All per-position gathers are expressed as einsums over the
+    # 15-word axis / a one-hot char matmul — TPU has no hardware gather and
+    # XLA's per-element take_along_axis costs ~40 ns/element.
+    t_pos = jax.lax.broadcasted_iota(jnp.int32, (B, TL), 1)
+    ind = (offsets[:, :, None] <= t_pos[:, None, :]).astype(jnp.float32)
+    sel = ind - jnp.concatenate(                                   # (B, W, TL)
+        [ind[:, 1:, :], jnp.zeros((B, 1, TL), jnp.float32)], axis=1
+    )                                                              # one-hot in w
+    g = lambda x: jnp.einsum(                                      # noqa: E731
+        "bw,bwt->bt", x.astype(jnp.float32), sel
+    )
+    m_t = g(matched) > 0.5
+    rl_t = g(rec_len).astype(jnp.int32)
+    j_t = t_pos - g(offsets).astype(jnp.int32)
+    src = jnp.clip(g(best_p).astype(jnp.int32) + j_t, 0, TL - 1)
+    # char pick: one-hot over source positions → MXU (codes ≤ 37, exact)
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, (B, TL, TL), 2)
+    ch_oh = (src[:, :, None] == s_iota).astype(jnp.float32)        # (B, TL, TL)
+    ch = jnp.einsum("bts,bs->bt", ch_oh, q_wo.astype(jnp.float32)).astype(jnp.uint8)
+    ch = jnp.where(m_t & (j_t < rl_t), ch, jnp.uint8(SPACE_CODE))
+    recon = jnp.where(t_pos < recon_len[:, None], ch, jnp.uint8(0))
     recon_ratio = _floor_ratio(
         lcs_kernel(recon, recon_len, t_enc, t_len), recon_len + t_len
     )

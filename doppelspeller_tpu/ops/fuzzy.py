@@ -161,6 +161,21 @@ class FuzzyEngine:
     ):
         """Device decisions for a bucket of rows (see _fuzzy_decide_kernel).
         Returns host (matched, best_pos, best_ratio, overflow) trimmed to R."""
+        R = len(rows)
+        matched, best_pos, best_ratio, over = self.decide_device(
+            q_enc, q_len, ts_q_enc, ts_q_len, cand_d, rows, tl
+        )
+        return (np.asarray(matched)[:R], np.asarray(best_pos)[:R],
+                np.asarray(best_ratio)[:R], np.asarray(over)[:R])
+
+    def decide_device(
+        self,
+        q_enc: np.ndarray, q_len: np.ndarray,
+        ts_q_enc: np.ndarray, ts_q_len: np.ndarray,
+        cand_d, rows: np.ndarray, tl: int,
+    ):
+        """Like :meth:`decide` but the (padded) result vectors stay on device
+        — the caller packs/fetches them (each fetch costs a tunnel RTT)."""
         cfg = self.cfg
         R = len(rows)
         k = int(cand_d.shape[1])
@@ -209,14 +224,12 @@ class FuzzyEngine:
             out[:R] = x if width is None else x[:, :width]
             return put(out)
 
-        matched, best_pos, best_ratio, over = fn(
+        return fn(
             pad(q_enc, tl), pad(q_len.astype(np.int32)),
             pad(ts_q_enc, tl), pad(ts_q_len.astype(np.int32)),
             self.t_enc, self.t_len, self.t_ts, self.t_ts_len,
             cand_d, pad(rows.astype(np.int32)),
         )
-        return (np.asarray(matched)[:R], np.asarray(best_pos)[:R],
-                np.asarray(best_ratio)[:R], np.asarray(over)[:R])
 
     def ratios(
         self,

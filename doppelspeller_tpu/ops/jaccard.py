@@ -206,7 +206,7 @@ def _topk_packed_pallas(packed, sums_perm, buf, nt, *, u, qb, lq, k, tb,
 
 @partial(jax.jit, static_argnames=("u", "qb", "lq", "k", "tb", "uc",
                                    "score_dtype", "recall_target", "impl",
-                                   "title_block", "interpret"))
+                                   "title_block", "interpret", "probe"))
 def _topk_multiblock(
     packed: jnp.ndarray,      # uint8[V, ntp//8]
     sums: jnp.ndarray,        # float32[ntp] (π-permuted for impl='pallas')
@@ -214,18 +214,24 @@ def _topk_multiblock(
     fb_tbl: jnp.ndarray,      # float32[V] idf-or-max-idf fallback
     buf: jnp.ndarray,         # int32[G*(U + QB*LQ)] — ONE transfer per group
     nt: jnp.ndarray,          # int32 scalar
+    t_len: Optional[jnp.ndarray] = None,    # int32[nt_pad] (probe)
+    t_wlen: Optional[jnp.ndarray] = None,   # int32[nt_pad] (probe)
     *,
     u: int, qb: int, lq: int, k: int, tb: int, uc: int,
     score_dtype: str, recall_target: float, impl: str,
-    title_block: int, interpret: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    title_block: int, interpret: bool = False, probe: bool = False,
+):
     """Score G query blocks in ONE device program (lax.scan over blocks).
 
     Per-block IDF weights and the max-intersection bound are reconstructed
     on device from resident tables — the host ships only trigram ids and
     positions (~64 KB/block through a ~40 MB/s tunnel with 10-30 ms RTT;
     one dispatch per block was the round-1 bottleneck, not the math).
-    Returns (float32[G, QB, k], int32[G, QB, k]).
+    With ``probe=True`` also returns the per-query max candidate title
+    length and word length (int32[G, 2, QB]) so the cascade can pick its
+    static DP buckets without fetching the candidate matrix (a fetch and a
+    separate probe program both cost a tunnel round-trip).
+    Returns (float32[G, QB, k], int32[G, QB, k][, int32[G, 2, QB]]).
     """
     dtype = jnp.dtype(score_dtype)
     G = buf.shape[0] // (u + qb * lq)
@@ -257,10 +263,37 @@ def _topk_multiblock(
                 rows, sums, w, maxint, jnp.int32(0), nt,
                 k=k, title_block=title_block, score_dtype=score_dtype,
             )
+        if probe:
+            tl = t_len[pos].max(axis=1)                     # (QB,)
+            wl = t_wlen[pos].max(axis=1)
+            return None, (vals, pos, jnp.stack([tl, wl], axis=0))
         return None, (vals, pos)
 
-    _, (vals, pos) = jax.lax.scan(step, None, (unions, w_pos))
-    return vals, pos
+    _, out = jax.lax.scan(step, None, (unions, w_pos))
+    return out
+
+
+def group_plan_buffers(plans, g: int):
+    """Stack plans into padded G-sized int32 buffers (ONE transfer each),
+    grouping plans of the same union bucket so every group is a single
+    static-shaped program.  Padding blocks reuse zeros (their outputs are
+    discarded).  Returns ([(plan_chunk, buf, union_size)], qb, lq)."""
+    qb, lq = plans[0].w_pos.shape
+    by_bucket = {}
+    for p in plans:
+        by_bucket.setdefault(p.union_ids.shape[0], []).append(p)
+    groups = []
+    for u in sorted(by_bucket):
+        same = by_bucket[u]
+        per = u + qb * lq
+        for s in range(0, len(same), g):
+            chunk = same[s : s + g]
+            buf = np.zeros(g * per, dtype=np.int32)
+            for j, p in enumerate(chunk):
+                buf[j * per : j * per + u] = p.union_ids
+                buf[j * per + u : (j + 1) * per] = p.w_pos.reshape(-1)
+            groups.append((chunk, buf, u))
+    return groups, qb, lq
 
 
 class JaccardScorer:
@@ -297,32 +330,22 @@ class JaccardScorer:
         self.fb_d = jax.device_put(fb.astype(np.float32), device)
 
     def _group_buffers(self, plans, g: int):
-        """Stack plans into padded G-sized int32 buffers (ONE transfer each).
-        Padding blocks reuse zeros (their outputs are discarded)."""
-        u = plans[0].union_ids.shape[0]
-        qb, lq = plans[0].w_pos.shape
-        per = u + qb * lq
-        groups = []
-        for s in range(0, len(plans), g):
-            chunk = plans[s : s + g]
-            buf = np.zeros(g * per, dtype=np.int32)
-            for j, p in enumerate(chunk):
-                buf[j * per : j * per + u] = p.union_ids
-                buf[j * per + u : (j + 1) * per] = p.w_pos.reshape(-1)
-            groups.append((chunk, buf))
-        return groups, u, qb, lq
+        return group_plan_buffers(plans, g)
 
     def topk_device(
         self,
         queries: TitleSet,
         k: Optional[int] = None,
         rows: Optional[np.ndarray] = None,
+        probe_tables=None,
     ):
         """Top-k for every query, results LEFT ON DEVICE.
 
         Returns (pending, plans) where ``pending`` is a list of
-        (plan_chunk, vals (G, QB, k) f32, pos (G, QB, k) i32) device arrays
-        in plan order.  Callers fetch or feed the next cascade stage.
+        (plan_chunk, vals (G, QB, k) f32, pos (G, QB, k) i32[, tlw
+        (G, 2, QB) i32 when probe_tables is given]) device arrays; the
+        chunks cover ``plans`` but may be reordered across union buckets.
+        Callers fetch or feed the next cascade stage.
         """
         k = k or self.cfg.top_n_predicting
         if self.index.num_titles < k:
@@ -331,15 +354,18 @@ class JaccardScorer:
         if not plans:
             return [], plans
         g = max(1, int(getattr(self.cfg, "dispatch_blocks", 16)))
-        groups, u, qb, lq = self._group_buffers(plans, g)
+        groups, qb, lq = self._group_buffers(plans, g)
         use_pallas = self.impl.startswith("pallas")
+        probe = probe_tables is not None
+        t_len_d, t_wlen_d = probe_tables if probe else (None, None)
         pending = []
-        for chunk, buf in groups:
-            vals, pos = _topk_multiblock(
+        for chunk, buf, u in groups:
+            out = _topk_multiblock(
                 self.packed_d,
                 self.sums_perm_d if use_pallas else self.sums_d,
                 self.idf_d, self.fb_d,
                 jnp.asarray(buf), self.nt_d,
+                t_len_d, t_wlen_d,
                 u=u, qb=qb, lq=lq, k=k,
                 tb=self._pallas_tb, uc=getattr(self.cfg, "pallas_union_chunk", 512),
                 score_dtype=self.score_dtype,
@@ -347,8 +373,9 @@ class JaccardScorer:
                 impl="pallas" if use_pallas else "xla",
                 title_block=self.cfg.title_block,
                 interpret=(self.impl == "pallas_interpret"),
+                probe=probe,
             )
-            pending.append((chunk, vals, pos))
+            pending.append((chunk,) + tuple(out))
         return pending, plans
 
     def topk(
@@ -376,7 +403,7 @@ class JaccardScorer:
         else:
             rows_all = np.asarray(rows)
         row_of = {int(r): j for j, r in enumerate(rows_all)}
-        for chunk, vals, pos in pending:
+        for chunk, vals, pos, *_ in pending:
             vals = np.asarray(vals)          # (G, QB, k) — one fetch per group
             pos = np.asarray(pos)
             for s, plan in enumerate(chunk):

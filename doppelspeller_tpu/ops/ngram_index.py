@@ -234,7 +234,8 @@ def plan_query_blocks(
         return []
 
     qb = cfg.query_block
-    union_cap = qb * 32
+    buckets = sorted(getattr(cfg, "union_buckets", None) or (qb * 32,))
+    union_cap = buckets[-1]
     BIG = T.BIG_TRIGRAM
 
     ids_all = T.trigram_ids_matrix(queries.encoded[rows], queries.lengths[rows])
@@ -270,12 +271,17 @@ def plan_query_blocks(
             emit(sel[mid:])
             return
         m = len(sel)
-        union_ids = np.zeros(union_cap, dtype=np.int32)
+        # pad the union to the smallest static bucket that holds it — the
+        # scoring matmul and bit unpack are O(union), so a 2.2k union in a
+        # fixed 8k slot would waste 3.6x the retrieval FLOPs (one compiled
+        # program per occupied bucket)
+        u_size = next(b for b in buckets if len(union) <= b)
+        union_ids = np.zeros(u_size, dtype=np.int32)
         union_ids[: len(union)] = union
         pos = np.searchsorted(union, blk_ids[:, :lq])   # (m, lq)
         v = valid_all[sel][:, :lq]
-        pos = np.where(v, pos, union_cap)               # dump column
-        w_pos = np.full((qb, lq), union_cap, dtype=np.int32)
+        pos = np.where(v, pos, u_size)                  # dump column
+        w_pos = np.full((qb, lq), u_size, dtype=np.int32)
         w_val = np.zeros((qb, lq), dtype=np.float32)
         w_pos[:m] = pos
         w_val[:m] = idf_g[sel][:, :lq] * v

@@ -28,21 +28,16 @@ LOGGER = logging.getLogger(__name__)
 
 def _score_gathered_pairs(
     qe, ql, qw, qwl,                  # (B, tl) / (B,) pair-gathered query side
-    te, tl_len, start, wlen, nwords, counts,   # pair-gathered truth side
+    te, tl_len, chars, wlen, nwords, counts,   # pair-gathered truth side
     m_feat, m_thr, m_ml, m_val, m_leaf,
     n_truth, base_margin,
     *, tl: int, wl: int, depth: int, window_impl: str,
 ):
-    """66-dim features + forest margin → probability, for B gathered pairs."""
-    B = qe.shape[0]
-    W = start.shape[1]
-    j = jnp.arange(wl, dtype=jnp.int32)
-    idx = jnp.clip(start[:, :, None] + j[None, None, :], 0, te.shape[1] - 1)
-    chars = jnp.take_along_axis(
-        te[:, None, :], idx.reshape(B, W * wl)[:, None, :], axis=2
-    ).reshape(B, W, wl)
-    chars = chars * (j[None, None, :] < wlen[:, :, None]).astype(chars.dtype)
+    """66-dim features + forest margin → probability, for B gathered pairs.
 
+    ``chars`` is the pre-gathered (B, W, wl) word-character tensor — sliced
+    from the engine's resident (n_truth, W, 32) table by a row gather (a
+    per-element take_along_axis against te costs ~33 ms per 12.8k pairs)."""
     feats = _features_kernel(
         qe, ql, te[:, :tl], tl_len, chars, wlen, nwords, qw, qwl, counts, n_truth,
         window_impl=window_impl,
@@ -57,12 +52,32 @@ def _score_gathered_pairs(
     return jax.nn.sigmoid(margins)
 
 
+def _word_chars(t_wchars, t_start, t_wlen, t_enc, pair_t, wl: int):
+    """(B, W, wl) word chars for the gathered pairs (zeroed past word_len).
+
+    wl ≤ 32: slice of the resident pre-gathered (n_truth, W, 32) table (one
+    DMA row gather).  wl > 32 (words longer than the bit-parallel capacity;
+    vanishingly rare): per-element window gather from the encodings."""
+    if wl <= t_wchars.shape[2]:
+        return t_wchars[pair_t][:, :, :wl]
+    te = t_enc[pair_t]
+    start = t_start[pair_t]
+    wlen = t_wlen[pair_t]
+    B, W = start.shape
+    j = jnp.arange(wl, dtype=jnp.int32)
+    idx = jnp.clip(start[:, :, None] + j[None, None, :], 0, te.shape[1] - 1)
+    chars = jnp.take_along_axis(
+        te[:, None, :], idx.reshape(B, W * wl)[:, None, :], axis=2
+    ).reshape(B, W, wl)
+    return chars * (j[None, None, :] < wlen[:, :, None]).astype(chars.dtype)
+
+
 @partial(jax.jit, static_argnames=("tl", "wl", "depth", "window_impl"))
 def _fused_rerank_kernel(
     # query-side device arrays (per predict call)
     q_enc, q_len, q_wo, q_wo_len,
     # truth-side device arrays (resident)
-    t_enc, t_len, t_start, t_wlen, t_nwords, t_counts,
+    t_enc, t_len, t_wchars, t_start, t_wlen, t_nwords, t_counts,
     # model arrays (resident)
     m_feat, m_thr, m_ml, m_val, m_leaf,
     # per-chunk pair indices: ONE (2, B) buffer = one host→device transfer
@@ -73,11 +88,12 @@ def _fused_rerank_kernel(
 ):
     pair_q = pairs[0]
     pair_t = pairs[1]
+    chars = _word_chars(t_wchars, t_start, t_wlen, t_enc, pair_t, wl)
     return _score_gathered_pairs(
         q_enc[pair_q][:, :tl], q_len[pair_q],
         q_wo[pair_q][:, :tl], jnp.maximum(q_wo_len[pair_q], 1),
         t_enc[pair_t], jnp.maximum(t_len[pair_t], 1),
-        t_start[pair_t], t_wlen[pair_t],
+        chars, t_wlen[pair_t],
         jnp.maximum(t_nwords[pair_t], 1), t_counts[pair_t].astype(jnp.float32),
         m_feat, m_thr, m_ml, m_val, m_leaf, n_truth, base_margin,
         tl=tl, wl=wl, depth=depth, window_impl=window_impl,
@@ -88,7 +104,7 @@ def _fused_rerank_kernel(
                                    "threshold"))
 def _rerank_decide_kernel(
     q_enc, q_len, q_wo, q_wo_len,      # (R, TL) bucket-sliced query arrays
-    t_enc, t_len, t_start, t_wlen, t_nwords, t_counts,   # resident
+    t_enc, t_len, t_wchars, t_start, t_wlen, t_nwords, t_counts,   # resident
     m_feat, m_thr, m_ml, m_val, m_leaf,                  # resident
     cand,                              # (R_all, K) int32 device-resident top-k
     rows,                              # (R,) int32 rows of ``cand`` to process
@@ -112,11 +128,12 @@ def _rerank_decide_kernel(
         cd = cand[rws]                              # (C, K)
         pair_t = cd.reshape(-1)
         rep = lambda x: jnp.repeat(x, K, axis=0)
+        chars = _word_chars(t_wchars, t_start, t_wlen, t_enc, pair_t, wl)
         preds = _score_gathered_pairs(
             rep(qe)[:, :tl], jnp.repeat(ql, K),
             rep(qw)[:, :tl], jnp.maximum(jnp.repeat(qwl, K), 1),
             t_enc[pair_t], jnp.maximum(t_len[pair_t], 1),
-            t_start[pair_t], t_wlen[pair_t],
+            chars, t_wlen[pair_t],
             jnp.maximum(t_nwords[pair_t], 1),
             t_counts[pair_t].astype(jnp.float32),
             m_feat, m_thr, m_ml, m_val, m_leaf, n_truth, base_margin,
@@ -170,6 +187,12 @@ class RerankEngine:
         self.t_wlen = put(wlen)
         self.t_nwords = put(nwords)
         self.t_counts = put(counts_matrix.astype(np.float32))
+        # pre-gathered word chars (n_truth, W, 32): the rerank kernels fetch
+        # a pair's word tensor with one DMA row gather instead of a ~33 ms
+        # per-element take_along_axis window gather
+        from doppelspeller_tpu.ops.features import gather_word_chars
+
+        self.t_wchars = put(gather_word_chars(truth_enc, start, wlen, 32))
         self._wlen_max = wlen.max(axis=1)  # host copy for bucketing
         nt = model.best_ntree_limit or model.num_trees
         self.m = tuple(
@@ -191,6 +214,21 @@ class RerankEngine:
     ):
         """Device decisions for a bucket of rows (see _rerank_decide_kernel).
         Returns host (matched, best_pos, best_pred) trimmed to R."""
+        R = len(rows)
+        matched, best_pos, best_pred = self.decide_device(
+            q_enc, q_len, q_wo, q_wo_len, cand_d, rows, tl, wl
+        )
+        return (np.asarray(matched)[:R], np.asarray(best_pos)[:R],
+                np.asarray(best_pred)[:R])
+
+    def decide_device(
+        self,
+        q_enc: np.ndarray, q_len: np.ndarray,
+        q_wo: np.ndarray, q_wo_len: np.ndarray,
+        cand_d, rows: np.ndarray, tl: int, wl: int,
+    ):
+        """Like :meth:`decide` but the (padded) result vectors stay on device
+        — the caller packs/fetches them (each fetch costs a tunnel RTT)."""
         cfg = self.cfg
         R = len(rows)
         k = int(cand_d.shape[1])
@@ -229,7 +267,7 @@ class RerankEngine:
                 kern,
                 mesh=self.mesh,
                 in_specs=(P(axis), P(axis), P(axis), P(axis),
-                          P(), P(), P(), P(), P(), P(),
+                          P(), P(), P(), P(), P(), P(), P(),
                           P(), P(), P(), P(), P(),
                           P(), P(axis), P(), P()),
                 out_specs=(P(axis), P(axis), P(axis)),
@@ -244,17 +282,15 @@ class RerankEngine:
             out[:R] = x if width is None else x[:, :width]
             return put(out)
 
-        matched, best_pos, best_pred = fn(
+        return fn(
             pad(q_enc, tl), pad(q_len.astype(np.int32)),
             pad(q_wo, tl), pad(q_wo_len.astype(np.int32)),
-            self.t_enc, self.t_len, self.t_start, self.t_wlen,
+            self.t_enc, self.t_len, self.t_wchars, self.t_start, self.t_wlen,
             self.t_nwords, self.t_counts,
             *self.m,
             cand_d, pad(rows.astype(np.int32)),
             self.n_truth, self._put(np.float32(self.base_margin)),
         )
-        return (np.asarray(matched)[:R], np.asarray(best_pos)[:R],
-                np.asarray(best_pred)[:R])
 
     def score(
         self,
@@ -296,7 +332,7 @@ class RerankEngine:
                     prs[1, :m] = pair_t[idx]
                     preds = _fused_rerank_kernel(
                         q_enc_d, q_len_d, q_wo_d, q_wo_len_d,
-                        self.t_enc, self.t_len, self.t_start, self.t_wlen,
+                        self.t_enc, self.t_len, self.t_wchars, self.t_start, self.t_wlen,
                         self.t_nwords, self.t_counts,
                         *self.m,
                         jnp.asarray(prs),

@@ -83,6 +83,28 @@ class ShardedJaccardScorer:
             packed, NamedSharding(mesh, P(None, self.axis))
         )
         self.sums_d = jax.device_put(sums, NamedSharding(mesh, P(self.axis)))
+        # per-shard pallas scorer state (mirrors JaccardScorer): local tiles
+        # are π-permuted, so sums are permuted per shard chunk
+        impl = getattr(self.cfg, "retrieval_impl", "auto")
+        if impl == "auto":
+            impl = (
+                "pallas"
+                if mesh.devices.flat[0].platform not in ("cpu",)
+                else "xla"
+            )
+        self.impl = impl
+        ntp_local = ntp_pad // n_dev
+        self._pallas_tb = 2048 if ntp_local % 2048 == 0 else self.cfg.title_block
+        if impl.startswith("pallas"):
+            from doppelspeller_tpu.ops.jaccard_pallas import permute_sums
+
+            sp = np.concatenate([
+                permute_sums(c, self._pallas_tb)
+                for c in sums.reshape(n_dev, ntp_local)
+            ])
+            self.sums_perm_d = jax.device_put(sp, NamedSharding(mesh, P(self.axis)))
+        else:
+            self.sums_perm_d = self.sums_d
         # replicated-on-mesh sharding for small per-call inputs: every array
         # this scorer touches is explicitly placed on the mesh's devices, so
         # the scorer works regardless of the process default backend (and the
@@ -93,6 +115,8 @@ class ShardedJaccardScorer:
         self.idf_d = jax.device_put(index.idf, self._rep)
         fb = np.where(index.df > 0, index.idf, np.float32(index.max_idf))
         self.fb_d = jax.device_put(fb.astype(np.float32), self._rep)
+        self._zero1 = jax.device_put(np.zeros(1, np.int32), self._rep)
+        self._mb_cache = {}
 
         axis = self.axis
         title_block = self.cfg.title_block
@@ -146,20 +170,31 @@ class ShardedJaccardScorer:
             self.packed_d, self.sums_d, union_ids, w_pos, w_val, maxint, self.nt
         )
 
-    def _multiblock_fn(self, u: int, qb: int, lq: int, k: int):
+    def _multiblock_fn(self, u: int, qb: int, lq: int, k: int, probe: bool):
         """shard_map'd scan over G query blocks: per-device local scoring +
         local top-k, ONE all-gather for the whole group, replicated merge.
-        Mirrors jaccard._topk_multiblock with the title axis sharded."""
+        Mirrors jaccard._topk_multiblock with the title axis sharded.
+        Jitted once per (u, qb, lq, k, probe) — cached on the instance."""
+        key = (u, qb, lq, k, probe)
+        cached = self._mb_cache.get(key)
+        if cached is not None:
+            return cached
         axis = self.axis
         title_block = self.cfg.title_block
         score_dtype = getattr(self.cfg, "score_dtype", "float32")
+        use_pallas = self.impl.startswith("pallas")
+        tb = self._pallas_tb
+        uc = getattr(self.cfg, "pallas_union_chunk", 512)
+        recall_target = getattr(self.cfg, "topk_recall_target", 1.0)
+        interpret = self.impl == "pallas_interpret"
 
-        def fn(packed_l, sums_l, idf_tbl, fb_tbl, buf, nt):
+        def fn(packed_l, sums_l, idf_tbl, fb_tbl, buf, nt, t_len, t_wlen):
             from doppelspeller_tpu.ops.jaccard import densify_weights
 
             dtype = jnp.dtype(score_dtype)
             idx = jax.lax.axis_index(axis)
             ntp_local = packed_l.shape[1] * 8
+            offset = idx.astype(jnp.int32) * ntp_local
             G = buf.shape[0] // (u + qb * lq)
             flat = buf.reshape(G, u + qb * lq)
             unions = flat[:, :u]
@@ -174,12 +209,26 @@ class ShardedJaccardScorer:
                 w_val = uidf[wp_c]
                 maxint = ufb[wp_c].sum(axis=1)
                 w = densify_weights(wp_c, w_val, u, dtype)
-                rows = packed_l[union_ids]
-                vals, pos = topk_over_blocks(
-                    rows, sums_l, w, maxint,
-                    idx.astype(jnp.int32) * ntp_local, nt,
-                    k=k, title_block=title_block, score_dtype=score_dtype,
-                )
+                if use_pallas:
+                    from doppelspeller_tpu.ops.jaccard_pallas import (
+                        jaccard_topk_pallas_v2,
+                    )
+
+                    # mask against the LOCAL tail of real titles; positions
+                    # come back shard-local and are globalized below
+                    nt_local = jnp.clip(nt - offset, 0, ntp_local)
+                    vals, pos = jaccard_topk_pallas_v2(
+                        packed_l, sums_l, w, maxint, union_ids, nt_local,
+                        k=k, tb=tb, uc=uc, score_dtype=score_dtype,
+                        recall_target=recall_target, interpret=interpret,
+                    )
+                    pos = pos + offset
+                else:
+                    rows = packed_l[union_ids]
+                    vals, pos = topk_over_blocks(
+                        rows, sums_l, w, maxint, offset, nt,
+                        k=k, title_block=title_block, score_dtype=score_dtype,
+                    )
                 return None, (vals, pos)
 
             _, (vals, pos) = jax.lax.scan(step, None, (unions, w_pos))
@@ -191,42 +240,49 @@ class ShardedJaccardScorer:
             flat_p = jnp.transpose(all_pos, (1, 2, 0, 3)).reshape(G, qb, D * k)
             mv, sel = jax.lax.top_k(flat_v, k)
             mp = jnp.take_along_axis(flat_p, sel, axis=2)
+            if probe:
+                tl = t_len[mp].max(axis=2)                  # (G, QB)
+                wl = t_wlen[mp].max(axis=2)
+                return mv, mp, jnp.stack([tl, wl], axis=1)  # (G, 2, QB)
             return mv, mp
 
-        return shard_map(
+        out_specs = (P(), P(), P()) if probe else (P(), P())
+        jitted = jax.jit(shard_map(
             fn,
             mesh=self.mesh,
-            in_specs=(P(None, axis), P(axis), P(), P(), P(), P()),
-            out_specs=(P(), P()),
+            in_specs=(P(None, axis), P(axis), P(), P(), P(), P(), P(), P()),
+            out_specs=out_specs,
             check_vma=False,
-        )
+        ))
+        self._mb_cache[key] = jitted
+        return jitted
 
-    def topk_device(self, queries, k: Optional[int] = None, rows=None):
+    def topk_device(self, queries, k: Optional[int] = None, rows=None,
+                    probe_tables=None):
         """Same contract as JaccardScorer.topk_device (results stay on the
         mesh, replicated): returns (pending, plans)."""
+        from doppelspeller_tpu.ops.jaccard import group_plan_buffers
         from doppelspeller_tpu.ops.ngram_index import plan_query_blocks
 
         k = k or self.cfg.top_n_predicting
         plans = plan_query_blocks(queries, self.index, self.cfg, rows=rows)
         if not plans:
             return [], plans
-        u = plans[0].union_ids.shape[0]
-        qb, lq = plans[0].w_pos.shape
         g = max(1, int(getattr(self.cfg, "dispatch_blocks", 16)))
-        per = u + qb * lq
-        fn = jax.jit(self._multiblock_fn(u, qb, lq, k))
+        groups, qb, lq = group_plan_buffers(plans, g)
+        probe = probe_tables is not None
+        if probe:
+            t_len_d, t_wlen_d = probe_tables
+        else:
+            t_len_d = t_wlen_d = self._zero1
         pending = []
-        for s in range(0, len(plans), g):
-            chunk = plans[s : s + g]
-            buf = np.zeros(g * per, dtype=np.int32)
-            for j, p in enumerate(chunk):
-                buf[j * per : j * per + u] = p.union_ids
-                buf[j * per + u : (j + 1) * per] = p.w_pos.reshape(-1)
-            vals, pos = fn(
-                self.packed_d, self.sums_d, self.idf_d, self.fb_d,
-                jax.device_put(buf, self._rep), self.nt,
+        for chunk, buf, u in groups:
+            fn = self._multiblock_fn(u, qb, lq, k, probe)
+            out = fn(
+                self.packed_d, self.sums_perm_d, self.idf_d, self.fb_d,
+                jax.device_put(buf, self._rep), self.nt, t_len_d, t_wlen_d,
             )
-            pending.append((chunk, vals, pos))
+            pending.append((chunk,) + tuple(out))
         return pending, plans
 
     def topk(self, queries, k: Optional[int] = None, rows=None):
@@ -237,7 +293,7 @@ class ShardedJaccardScorer:
         row_of = {int(r): j for j, r in enumerate(rows_all)}
         out_scores = np.zeros((len(rows_all), k), np.float32)
         out_pos = np.zeros((len(rows_all), k), np.int32)
-        for chunk, vals, pos in pending:
+        for chunk, vals, pos, *_ in pending:
             vals = np.asarray(vals)
             pos = np.asarray(pos)
             for s, plan in enumerate(chunk):

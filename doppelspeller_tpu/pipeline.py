@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import logging
 import os
+import time as _time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
@@ -78,21 +79,60 @@ class PredictionResult:
         }
 
 
-def _length_probe(cand_d, t_len_d, t_wlen_max_d):
-    """Per-row max candidate (length, word length) — ONE tiny device call so
-    the host can pick exact static buckets for the device cascade without
-    fetching the (R, K) candidate matrix."""
+def _jit_helpers():
+    """Tiny jitted device helpers for the fixed-shape cascade (module-level
+    so their compile caches are shared across Matcher instances).  All are
+    trivial data-movement programs — the heavy decide kernels never see a
+    query-count-dependent shape (an in-run XLA compile through the remote
+    TPU tunnel costs minutes; these compile in seconds and are cached)."""
     import jax
+    import jax.numpy as jnp
 
     @jax.jit
-    def probe(cand, t_len, t_wlen_max):
-        flat = cand.reshape(-1)
-        tl = t_len[flat].reshape(cand.shape).max(axis=1)
-        wl = t_wlen_max[flat].reshape(cand.shape).max(axis=1)
-        return tl, wl
+    def reshape_cand(pos):
+        return pos.reshape(-1, pos.shape[-1])
 
-    tl, wl = probe(cand_d, t_len_d, t_wlen_max_d)
-    return np.asarray(tl), np.asarray(wl)
+    @jax.jit
+    def pack_fuzzy(tlw, matched, best_pos, best_ratio, over):
+        n = tlw.shape[0] * tlw.shape[2]
+        probe = jnp.transpose(tlw, (1, 0, 2)).reshape(2, n)
+        return jnp.concatenate([
+            probe,
+            jnp.stack([
+                matched[:n].astype(jnp.int32), best_pos[:n].astype(jnp.int32),
+                best_ratio[:n].astype(jnp.int32), over[:n].astype(jnp.int32),
+            ]),
+        ], axis=0)
+
+    from functools import partial as _partial
+
+    @_partial(jax.jit, static_argnames=("n",))
+    def pack_model(matched, best_pos, pred, *, n):
+        return jnp.stack([
+            matched[:n].astype(jnp.float32),
+            best_pos[:n].astype(jnp.float32),   # positions < 2^24: exact in f32
+            pred[:n],
+        ])
+
+    @jax.jit
+    def concat_rows(*xs):
+        return jnp.concatenate(xs, axis=0)
+
+    @jax.jit
+    def gather_rows(arr, idx):
+        return arr[idx]
+
+    return reshape_cand, pack_fuzzy, pack_model, concat_rows, gather_rows
+
+
+_HELPERS = None
+
+
+def _helpers():
+    global _HELPERS
+    if _HELPERS is None:
+        _HELPERS = _jit_helpers()
+    return _HELPERS
 
 
 def _groupby_max_unique(q_idx: np.ndarray, values: np.ndarray, n_queries: int):
@@ -353,144 +393,239 @@ class Matcher:
         LOGGER.info("Matched %d titles (model stage)", hits)
 
     # ------------------------------------------------- device-cascade stages
+    #
+    # Fixed-shape orchestration: every heavy device program (retrieval
+    # scoring, fuzzy decide, rerank decide) sees only shapes determined by
+    # static config buckets — never by the query count.  The per-query-count
+    # work is confined to trivial data-movement programs (_jit_helpers) and
+    # host numpy.  Results cross the tunnel as one small packed fetch per
+    # dispatch group/slab (~28 ms RTT each, pipelined behind compute).
 
-    def _t_wlen_max_d(self):
-        if getattr(self, "_twlm_d", None) is None:
+    def _probe_tables(self):
+        """Device-resident per-truth-title (length, max word length) tables
+        for the fused retrieval probe."""
+        if getattr(self, "_probe_d", None) is None:
             import jax
             import jax.numpy as jnp
 
             _, wlen, _ = self.truth_words
             wlm = wlen.max(axis=1).astype(np.int32)
+            tl = self.truth.lengths.astype(np.int32)
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
-                self._twlm_d = jax.device_put(wlm, NamedSharding(self.mesh, P()))
+                rep = NamedSharding(self.mesh, P())
+                self._probe_d = (jax.device_put(tl, rep), jax.device_put(wlm, rep))
             else:
-                self._twlm_d = jnp.asarray(wlm)
-        return self._twlm_d
+                self._probe_d = (jnp.asarray(tl), jnp.asarray(wlm))
+        return self._probe_d
 
-    def _device_cand_matrix(self, queries: TitleSet, rem: np.ndarray, k: int):
-        """Retrieval with the (R, k) candidate matrix LEFT ON DEVICE, rows in
-        ``rem`` order.  Only the compaction index vector crosses to the device;
-        nothing comes back to the host (VERDICT round-1: the host round-trip
-        of cand_pos was the cascade's synchronization bottleneck)."""
+    def _put_rep(self, x):
+        import jax
         import jax.numpy as jnp
 
-        pending, plans = self.scorer.topk_device(queries, k=k, rows=rem)
-        parts, sel, off = [], [], 0
-        for chunk, vals, pos in pending:
-            G, QB, _ = pos.shape
-            parts.append(pos.reshape(G * QB, k))
-            for s, plan in enumerate(chunk):
-                base = off + s * QB
-                sel.append(np.arange(base, base + plan.n_valid, dtype=np.int64))
-            off += G * QB
-        sel = np.concatenate(sel)
-        if len(sel) != len(rem):
-            raise AssertionError("plan rows do not cover the query subset")
-        cand_all = jnp.concatenate(parts, axis=0)
         if self.mesh is not None:
-            import jax
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            sel_d = jax.device_put(sel, NamedSharding(self.mesh, P()))
-        else:
-            sel_d = jnp.asarray(sel)
-        return cand_all[sel_d]
+            return jax.device_put(x, NamedSharding(self.mesh, P()))
+        return jnp.asarray(x)
 
-    def _stage_fuzzy_device(
-        self, queries: TitleSet, rem: np.ndarray, cand_d, tl_max: np.ndarray,
-        res: PredictionResult,
-    ) -> None:
+    def _cascade_device(self, queries: TitleSet, rem: np.ndarray,
+                        res: PredictionResult) -> None:
+        """Stages 2+3 on device against HBM-resident candidates.
+
+        Dispatch plan (all async; two fetch barriers total):
+          1. retrieval groups (probe fused) → (G, QB, k) pos per group
+          2. fuzzy decide per group at its static title-length bucket
+          3. fetch packed probe+fuzzy results (one per group)
+          4. rerank decide on still-unmatched rows in fixed-size slabs
+          5. fetch packed model results (one per slab)
+        """
         cfg = self.cfg
-        R = len(rem)
-        engine = self._fuzzy_engine()
-        ts_q = [self._token_sort(queries.transformed[r]) for r in rem]
-        ts_q_enc = T.encode_titles(ts_q, cfg.max_characters)
-        ts_q_len = np.array(
-            [min(len(s), cfg.max_characters) for s in ts_q], np.int32
-        )
-        q_enc = queries.encoded[rem]
-        q_len = queries.lengths[rem].astype(np.int32)
+        k = cfg.top_n_predicting
+        reshape_cand, pack_fuzzy, pack_model, concat_rows, gather_rows = _helpers()
+        engine_f = self._fuzzy_engine()
 
-        pair_len = np.maximum(q_len, tl_max)
+        # sort rows (fuzzy length bucket major, transformed title minor):
+        # title order shrinks per-block trigram unions (less retrieval work),
+        # bucket order makes the per-group fuzzy tile tight
         buckets = [b for b in cfg.length_buckets if b < cfg.max_characters]
         buckets.append(cfg.max_characters)
-        bi = np.searchsorted(np.asarray(buckets), pair_len)
+        buckets_arr = np.asarray(buckets)
+        q_len_all = queries.lengths.astype(np.int64)
+        # a fuzzy-considered candidate satisfies |q|·94/106 ≤ |t| ≤ |q|·106/94
+        # (the length-delta prefilter at threshold 94, predict.py:150), and
+        # token-sorting preserves lengths — so the fuzzy DP tile only needs
+        # max(|q|, ⌈|q|·106/94⌉) regardless of the candidates
+        need_all = np.minimum(
+            (q_len_all * 106 + 93) // 94, cfg.max_characters
+        ).astype(np.int64)
+        titles = np.array(queries.transformed, dtype=object)
+        fzb = np.searchsorted(buckets_arr, need_all[rem])
+        rem = rem[np.lexsort((titles[rem], fzb))]
 
+        # fuzzy host prep BEFORE the retrieval dispatch so it overlaps the
+        # device work (single-threaded host; ~1 s for 100k titles)
+        ts_q = [self._token_sort(queries.transformed[r]) for r in rem]
+        ts_enc_rem = T.encode_titles(ts_q, cfg.max_characters)
+        ts_len_rem = np.array(
+            [min(len(s), cfg.max_characters) for s in ts_q], np.int32
+        )
+        pos_of_rem = {int(r): j for j, r in enumerate(rem)}
+
+        t0 = _time.time()
+        pending, _ = self.scorer.topk_device(
+            queries, k=k, rows=rem, probe_tables=self._probe_tables()
+        )
+
+        # slot bookkeeping: slot = group offset + block slot · QB + row index
+        slot_rows = []          # per group: int64[G·QB] rem-row ids (−1 pad)
+        for chunk, vals, pos, tlw in pending:
+            G, QB, _ = pos.shape
+            rows_g = np.full(G * QB, -1, dtype=np.int64)
+            for s, plan in enumerate(chunk):
+                rows_g[s * QB : s * QB + plan.n_valid] = plan.query_rows
+            slot_rows.append(rows_g)
+
+        # sync on the last group's scores: attributes retrieval time in the
+        # stage log (device execution is serial; only the fetch cost is added)
+        np.asarray(pending[-1][1])
+        t_retr = _time.time()
+        res.stage_seconds["retrieval"] = t_retr - t0
+
+        fuzzy_pend = []
+        for (chunk, vals, pos, tlw), rows_g in zip(pending, slot_rows):
+            n = len(rows_g)
+            valid = rows_g >= 0
+            tl_g = int(need_all[rows_g[valid]].max(initial=1))
+            TL = int(buckets_arr[np.searchsorted(buckets_arr, tl_g)])
+            q_enc_g = np.zeros((n, TL), np.uint8)
+            q_len_g = np.zeros(n, np.int32)
+            ts_enc_g = np.zeros((n, TL), np.uint8)
+            ts_len_g = np.zeros(n, np.int32)
+            vi = np.flatnonzero(valid)
+            src = rows_g[vi]
+            ri = np.fromiter((pos_of_rem[int(r)] for r in src), np.int64,
+                             count=len(src))
+            q_enc_g[vi] = queries.encoded[src][:, :TL]
+            q_len_g[vi] = queries.lengths[src].astype(np.int32)
+            ts_enc_g[vi] = ts_enc_rem[ri][:, :TL]
+            ts_len_g[vi] = ts_len_rem[ri]
+            cand_g = reshape_cand(pos)
+            out = engine_f.decide_device(
+                q_enc_g, q_len_g, ts_enc_g, ts_len_g,
+                cand_g, np.arange(n, dtype=np.int64), TL,
+            )
+            fuzzy_pend.append((rows_g, cand_g, pack_fuzzy(tlw, *out)))
+
+        # ---- fetch barrier 1: probe + fuzzy results -----------------------
         hits = 0
-        overflow_rows = []
-        results = []
-        for i, tl in enumerate(buckets):
-            rows_b = np.flatnonzero(bi == i)
-            if not len(rows_b):
-                continue
-            results.append((rows_b, engine.decide(
-                q_enc[rows_b], q_len[rows_b],
-                ts_q_enc[rows_b], ts_q_len[rows_b],
-                cand_d, rows_b, tl,
-            )))
-        for rows_b, (m, bp, br, ov) in results:
-            if ov.any():  # safety net; exact bucketing makes this unreachable
-                overflow_rows.append(rows_b[ov])
-                m = m & ~ov
-            for j in np.flatnonzero(m):
-                qi = rem[rows_b[j]]
-                pos = int(bp[j])
+        over_slots = []          # (group_idx, slot) pairs for host redo
+        tl_probe = {}
+        wl_probe = {}
+        for gi, (rows_g, cand_g, packed) in enumerate(fuzzy_pend):
+            arr = np.asarray(packed)                     # (6, n)
+            tl_probe[gi] = arr[0]
+            wl_probe[gi] = arr[1]
+            matched, best_pos, _ratio, over = arr[2] > 0, arr[3], arr[4], arr[5] > 0
+            valid = rows_g >= 0
+            ov = over & valid
+            if ov.any():
+                over_slots.append((gi, np.flatnonzero(ov)))
+                matched = matched & ~ov
+            for j in np.flatnonzero(matched & valid):
+                qi = rows_g[j]
+                pos = int(best_pos[j])
                 res.match_title_id[qi] = int(self.index.title_ids[pos])
                 res.prediction[qi] = 1.0
                 res.stage[qi] = STAGE_FUZZY
                 res.match_transformed[qi] = self.truth.transformed[pos]
                 hits += 1
         res.stage_counts["fuzzy"] = hits
-        if overflow_rows:
-            import jax.numpy as jnp
-
-            ov_rows = np.concatenate(overflow_rows)
-            LOGGER.warning("fuzzy device overflow on %d rows; host redo", len(ov_rows))
-            cand_sub = np.asarray(cand_d[jnp.asarray(ov_rows)])
-            self._stage_fuzzy(queries, rem[ov_rows], cand_sub, res)
-            res.stage_counts["fuzzy"] += hits  # _stage_fuzzy overwrote the count
+        if over_slots:
+            n_over = sum(len(s) for _, s in over_slots)
+            LOGGER.warning("fuzzy device overflow on %d rows; host redo", n_over)
+            for gi, slots in over_slots:
+                rows_g, cand_g, _ = fuzzy_pend[gi]
+                cand_sub = np.asarray(gather_rows(cand_g, self._put_rep(slots)))
+                before = res.stage_counts["fuzzy"]
+                self._stage_fuzzy(queries, rows_g[slots], cand_sub, res)
+                res.stage_counts["fuzzy"] = before + res.stage_counts["fuzzy"]
         LOGGER.info("Matched %d titles so far (fuzzy)", res.stage_counts["fuzzy"])
+        t1 = _time.time()
+        res.stage_seconds["fuzzy"] = t1 - t_retr
 
-    def _stage_model_device(
-        self, queries: TitleSet, rem: np.ndarray, rows2: np.ndarray, cand_d,
-        tl_max: np.ndarray, wl_max: np.ndarray, res: PredictionResult,
-    ) -> None:
-        """rows2: positions within ``rem``/``cand_d`` still unmatched."""
+        # ---- stage 3 (model) on still-unmatched rows, fixed-size slabs ----
+        slab = int(getattr(cfg, "model_slab", 2048))
+        todo_parts = []          # (global_slot, rem_row, tl_need, wl_need)
+        for gi, rows_g in enumerate(slot_rows):
+            base = gi * len(rows_g)
+            valid = rows_g >= 0
+            unm = valid & (res.stage[np.maximum(rows_g, 0)] == STAGE_NONE)
+            js = np.flatnonzero(unm)
+            if len(js):
+                todo_parts.append(np.stack([
+                    base + js, rows_g[js],
+                    tl_probe[gi][js].astype(np.int64),
+                    wl_probe[gi][js].astype(np.int64),
+                ], axis=1))
+        if not todo_parts:
+            res.stage_counts["model"] = 0
+            return
+        todo = np.concatenate(todo_parts, axis=0)        # (M, 4)
+        gq = todo[:, 1]
+        tl_need = np.maximum(queries.lengths[gq].astype(np.int64), todo[:, 2])
+        wl_need = np.maximum(todo[:, 3], 1)
+        w_buckets = [b for b in (16, 32) if b < cfg.max_characters]
+        w_buckets.append(cfg.max_characters)
+        w_arr = np.asarray(w_buckets)
+        tbi = np.searchsorted(buckets_arr, np.minimum(tl_need, cfg.max_characters))
+        wbi = np.searchsorted(w_arr, np.minimum(wl_need, cfg.max_characters))
+
         from doppelspeller_tpu.ops.features import remove_spaces_host
 
-        cfg = self.cfg
-        engine = self._rerank_engine()
-        gq = rem[rows2]
-        q_enc = queries.encoded[gq]
-        q_len = queries.lengths[gq].astype(np.int32)
-        q_wo, q_wo_len = remove_spaces_host(q_enc, q_len)
+        engine_m = self._rerank_engine()
+        cand_all = concat_rows(*[reshape_cand(p[2]) for p in pending])
+        q_enc_m = queries.encoded[gq]
+        q_len_m = queries.lengths[gq].astype(np.int32)
+        q_wo_m, q_wo_len_m = remove_spaces_host(q_enc_m, q_len_m)
 
-        pair_len = np.maximum(q_len, tl_max[rows2])
-        buckets = [b for b in cfg.length_buckets if b < cfg.max_characters]
-        buckets.append(cfg.max_characters)
-        w_buckets = [8, 16, 32, 64, cfg.max_characters]
-        tb = np.searchsorted(np.asarray(buckets), pair_len)
-        wb = np.searchsorted(np.asarray(w_buckets), np.maximum(wl_max[rows2], 1))
-
-        hits = 0
-        results = []
+        model_pend = []
         for ti, TL in enumerate(buckets):
             for wi, WL in enumerate(w_buckets):
                 if WL > TL:
                     continue
-                sub = np.flatnonzero((tb == ti) & (wb == wi))
-                if not len(sub):
-                    continue
-                results.append((sub, engine.decide(
-                    q_enc[sub], q_len[sub], q_wo[sub], q_wo_len[sub],
-                    cand_d, rows2[sub], TL, WL,
-                )))
-        for sub, (m, bp, pred) in results:
-            for j in np.flatnonzero(m):
-                qi = gq[sub[j]]
-                pos = int(bp[j])
+                sub = np.flatnonzero((tbi == ti) & (wbi == wi))
+                for s in range(0, len(sub), slab):
+                    sl = sub[s : s + slab]
+                    m = len(sl)
+                    idx = np.zeros(slab, np.int32)
+                    idx[:m] = todo[sl, 0]
+                    qe = np.zeros((slab, TL), np.uint8)
+                    ql = np.zeros(slab, np.int32)
+                    qw = np.zeros((slab, TL), np.uint8)
+                    qwl = np.zeros(slab, np.int32)
+                    qe[:m] = q_enc_m[sl][:, :TL]
+                    ql[:m] = q_len_m[sl]
+                    qw[:m] = q_wo_m[sl][:, :TL]
+                    qwl[:m] = q_wo_len_m[sl]
+                    cand_slab = gather_rows(cand_all, self._put_rep(idx))
+                    out = engine_m.decide_device(
+                        qe, ql, qw, qwl, cand_slab,
+                        np.arange(slab, dtype=np.int64), TL, WL,
+                    )
+                    model_pend.append((sl, m, pack_model(*out, n=slab)))
+
+        # ---- fetch barrier 2: model results -------------------------------
+        hits = 0
+        for sl, m, packed in model_pend:
+            arr = np.asarray(packed)                     # (3, slab) f32
+            matched = arr[0][:m] > 0
+            best_pos = arr[1][:m].astype(np.int64)
+            pred = arr[2][:m]
+            for j in np.flatnonzero(matched):
+                qi = todo[sl[j], 1]
+                pos = int(best_pos[j])
                 res.match_title_id[qi] = int(self.index.title_ids[pos])
                 res.prediction[qi] = float(pred[j])
                 res.stage[qi] = STAGE_MODEL
@@ -498,12 +633,11 @@ class Matcher:
                 hits += 1
         res.stage_counts["model"] = hits
         LOGGER.info("Matched %d titles (model stage)", hits)
+        res.stage_seconds["model"] = _time.time() - t1
 
     # -------------------------------------------------------------- entry
 
     def predict(self, queries: TitleSet, single: bool = False) -> PredictionResult:
-        import time as _time
-
         cfg = self.cfg
         if single and len(queries) != 1:
             raise ValueError("single prediction requires exactly one query")
@@ -520,27 +654,16 @@ class Matcher:
         t0 = _time.time()
         self._stage_exact(queries, res)
         t1 = _time.time()
+        res.stage_seconds = {"exact": t1 - t0, "retrieval": 0.0,
+                             "fuzzy": 0.0, "model": 0.0}
 
         rem = np.flatnonzero(res.stage == STAGE_NONE)
         impl = getattr(cfg, "cascade_impl", "auto")
         use_device = not single and len(rem) > 0 and (
             impl == "device" or (impl == "auto" and len(rem) >= 2048)
         )
-        t2 = t3 = t4 = t1
         if use_device:
-            cand_d = self._device_cand_matrix(queries, rem, cfg.top_n_predicting)
-            tl_max, wl_max = _length_probe(
-                cand_d, self._fuzzy_engine().t_len, self._t_wlen_max_d()
-            )
-            t2 = _time.time()
-            self._stage_fuzzy_device(queries, rem, cand_d, tl_max, res)
-            t3 = _time.time()
-            rows2 = np.flatnonzero(res.stage[rem] == STAGE_NONE)
-            if len(rows2):
-                self._stage_model_device(
-                    queries, rem, rows2, cand_d, tl_max, wl_max, res
-                )
-            t4 = _time.time()
+            self._cascade_device(queries, rem, res)
         elif len(rem):
             _, cand_pos = self.scorer.topk(queries, k=cfg.top_n_predicting, rows=rem)
             t2 = _time.time()
@@ -550,14 +673,13 @@ class Matcher:
             rem2 = rem[still]
             if len(rem2) and (not single or res.stage[0] == STAGE_NONE):
                 self._stage_model(queries, rem2, cand_pos[still], res, single)
-            t4 = _time.time()
-        res.stage_seconds = {
-            "exact": t1 - t0, "retrieval": t2 - t1,
-            "fuzzy": t3 - t2, "model": t4 - t3,
-        }
+            res.stage_seconds.update(
+                retrieval=t2 - t1, fuzzy=t3 - t2, model=_time.time() - t3
+            )
+        ss = res.stage_seconds
         LOGGER.info(
             "stage timing: exact %.2fs | retrieval %.2fs | fuzzy %.2fs | model %.2fs",
-            t1 - t0, t2 - t1, t3 - t2, t4 - t3,
+            ss["exact"], ss["retrieval"], ss["fuzzy"], ss["model"],
         )
 
         LOGGER.info(

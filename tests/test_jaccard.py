@@ -87,7 +87,9 @@ def test_planner_covers_all_queries(small_world):
     covered = np.concatenate([p.query_rows for p in plans])
     np.testing.assert_array_equal(np.sort(covered), np.arange(len(queries)))
     for p in plans:
-        assert p.weights.shape == (cfg.query_block, cfg.query_block * 32)
+        # unions are padded to the smallest static bucket that holds them
+        assert p.weights.shape[0] == cfg.query_block
+        assert p.weights.shape[1] in cfg.union_buckets
         assert p.n_valid == len(p.query_rows)
 
 
