@@ -172,9 +172,11 @@ def main():
     # trigger a mid-run recompile)
     from doppelspeller_tpu.utils.io import TitleSet as _TS
 
-    stride = max(len(queries.titles) // 2048, 1)
+    # ≥2048 post-exact-match rows so the DEVICE cascade path (fixed-shape
+    # slab programs) compiles in warmup, not in the timed run
+    stride = max(len(queries.titles) // 4096, 1)
     by_len = sorted(queries.titles, key=len, reverse=True)[:64]
-    warm = _TS.from_titles(queries.titles[::stride][:2048] + by_len, config=cfg)
+    warm = _TS.from_titles(queries.titles[::stride][:4096] + by_len, config=cfg)
     t0 = time.time()
     matcher.predict(warm)
     # and the short-query LQ bucket (in case the timed run's longest queries

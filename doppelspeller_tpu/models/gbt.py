@@ -421,26 +421,30 @@ def predict_forest_margin(
     ).reshape(B, T, n_internal)
     thr_b = thr[:, :n_internal][None]
     ml_b = missing_left[:, :n_internal][None]
-    go_left = jnp.where(x_sel < -1e20, ml_b, x_sel <= thr_b)
-    leaf_b = (is_leaf[:, :n_internal] | (f_int < 0))[None]
-    n_iota = jnp.arange(n_internal, dtype=jnp.int32)[None, None, :]
-    nxt = jnp.where(
-        leaf_b, n_iota, 2 * n_iota + 1 + (1 - go_left.astype(jnp.int32))
-    )                                                   # (B, T, I)
+    go_left = jnp.where(x_sel < -1e20, ml_b, x_sel <= thr_b)  # (B, T, I)
+    alive = ~(is_leaf[:, :n_internal] | (f_int < 0))          # (T, I)
 
-    node = jnp.zeros((B, T), jnp.int32)
-    for _ in range(depth):
-        # one-hot select instead of take_along_axis — XLA's batched gather on
-        # TPU is ~8x slower than a masked reduction over 31 columns
-        onehot = (jnp.clip(node, 0, n_internal - 1)[:, :, None] == n_iota).astype(
-            jnp.int32
-        )
-        stepped = (nxt * onehot).sum(axis=2)
-        node = jnp.where(node >= n_internal, node, stepped)
-
-    flat = (jnp.arange(T, dtype=jnp.int32)[None, :] * n_heap + node).reshape(-1)
-    leaf_vals = jnp.take(value.reshape(-1), flat).reshape(B, T)
-    return base_margin + leaf_vals.sum(axis=1)
+    # branch-free reached-mass propagation over the heap: r[i] ∈ {0, 1} is
+    # whether the sample reaches node i; a node that stops early contributes
+    # value[i] directly.  No gathers, no one-hot reduce — the iterative
+    # one-hot node walk miscompiled at some batch sizes (e.g. B=12800 on
+    # v5e: corrupt node ids), and per-element take_along_axis costs
+    # ~40 ns/element on TPU.
+    gl = go_left.astype(jnp.float32)
+    al = alive.astype(jnp.float32)[None]                      # (1, T, I)
+    va = value.astype(jnp.float32)                            # (T, n_heap)
+    r = [None] * n_heap
+    r[0] = jnp.ones((B, T), jnp.float32)
+    margin = jnp.zeros((B, T), jnp.float32)
+    for i in range(n_internal):
+        stop = r[i] * (1.0 - al[:, :, i])                     # early leaf at i
+        margin = margin + stop * va[None, :, i]
+        cont = r[i] * al[:, :, i]
+        r[2 * i + 1] = cont * gl[:, :, i]
+        r[2 * i + 2] = cont * (1.0 - gl[:, :, i])
+    for j in range(n_internal, n_heap):
+        margin = margin + r[j] * va[None, :, j]
+    return base_margin + margin.sum(axis=1)
 
 
 @partial(jax.jit, static_argnames=("depth", "base_score"))
