@@ -347,19 +347,27 @@ class JaccardScorer:
         chunks cover ``plans`` but may be reordered across union buckets.
         Callers fetch or feed the next cascade stage.
         """
+        import time as _t
+
         k = k or self.cfg.top_n_predicting
         if self.index.num_titles < k:
             raise ValueError(f"index has {self.index.num_titles} titles < k={k}")
+        t0 = _t.time()
         plans = plan_query_blocks(queries, self.index, self.cfg, rows=rows)
         if not plans:
             return [], plans
         g = max(1, int(getattr(self.cfg, "dispatch_blocks", 16)))
-        groups, qb, lq = self._group_buffers(plans, g)
+        qb, lq = plans[0].w_pos.shape
         use_pallas = self.impl.startswith("pallas")
         probe = probe_tables is not None
         t_len_d, t_wlen_d = probe_tables if probe else (None, None)
-        pending = []
-        for chunk, buf, u in groups:
+
+        def dispatch(chunk, u):
+            per = u + qb * lq
+            buf = np.zeros(g * per, dtype=np.int32)
+            for j, p in enumerate(chunk):
+                buf[j * per : j * per + u] = p.union_ids
+                buf[j * per + u : (j + 1) * per] = p.w_pos.reshape(-1)
             out = _topk_multiblock(
                 self.packed_d,
                 self.sums_perm_d if use_pallas else self.sums_d,
@@ -375,7 +383,25 @@ class JaccardScorer:
                 interpret=(self.impl == "pallas_interpret"),
                 probe=probe,
             )
-            pending.append((chunk,) + tuple(out))
+            return (chunk,) + tuple(out)
+
+        # streamed dispatch: groups go to the device as soon as a union
+        # bucket accumulates g plans, so host-side buffer packing overlaps
+        # device compute (plans arrive title-sorted, so consecutive blocks
+        # usually share a bucket)
+        pending = []
+        acc = {}
+        for p in plans:
+            u = p.union_ids.shape[0]
+            acc.setdefault(u, []).append(p)
+            if len(acc[u]) == g:
+                pending.append(dispatch(acc.pop(u), u))
+        for u in sorted(acc):
+            pending.append(dispatch(acc[u], u))
+        LOGGER.info(
+            "topk_device: %d blocks / %d groups planned+dispatched in %.2fs",
+            len(plans), len(pending), _t.time() - t0,
+        )
         return pending, plans
 
     def topk(

@@ -240,6 +240,24 @@ def plan_query_blocks(
 
     ids_all = T.trigram_ids_matrix(queries.encoded[rows], queries.lengths[rows])
     valid_all = ids_all != BIG
+
+    # per-query trigram count → one static LQ bucket for the whole run
+    # (ladder {max_query_trigrams, 128, 253} keeps the compiled-program
+    # count small and independent of the longest title in this batch; no
+    # trigrams are ever dropped — a run with any longer query simply uses
+    # the next bucket)
+    counts = valid_all.sum(axis=1)
+    mqt = cfg.max_query_trigrams
+    need = int(counts.max(initial=1))
+    lq = next(b for b in (mqt, 128, 253) if need <= b or b == 253)
+    if ids_all.shape[1] < lq:
+        ids_all = np.concatenate([
+            ids_all,
+            np.full((ids_all.shape[0], lq - ids_all.shape[1]), BIG, np.int32),
+        ], axis=1)
+        valid_all = ids_all != BIG
+    lq = min(lq, ids_all.shape[1])
+
     clipped = np.clip(ids_all, 0, index.idf.shape[0] - 1)
     idf_g = index.idf[clipped]
     # max-IDF fallback only for trigrams UNOBSERVED in truth (df == 0); an
@@ -247,15 +265,6 @@ def plan_query_blocks(
     # mapping and adds nothing (match_maker.py:151,197)
     w_fb = np.where(index.df[clipped] > 0, idf_g, np.float32(index.max_idf))
     maxint_all = (w_fb * valid_all).sum(axis=1, dtype=np.float64).astype(np.float32)
-
-    # per-query trigram count → one static LQ bucket for the whole run
-    # (buckets {max_query_trigrams, full} keep the compiled-program count at
-    # two; no trigrams are ever dropped — a run with any longer query simply
-    # uses the full-width bucket)
-    counts = valid_all.sum(axis=1)
-    mqt = cfg.max_query_trigrams
-    lq = mqt if int(counts.max(initial=1)) <= mqt else ids_all.shape[1]
-    lq = min(lq, ids_all.shape[1])
 
     plans: List[QueryBlockPlan] = []
 

@@ -464,19 +464,19 @@ class Matcher:
         fzb = np.searchsorted(buckets_arr, need_all[rem])
         rem = rem[np.lexsort((titles[rem], fzb))]
 
-        # fuzzy host prep BEFORE the retrieval dispatch so it overlaps the
-        # device work (single-threaded host; ~1 s for 100k titles)
+        t0 = _time.time()
+        pending, _plans = self.scorer.topk_device(
+            queries, k=k, rows=rem, probe_tables=self._probe_tables()
+        )
+
+        # fuzzy host prep AFTER the retrieval dispatch so the single
+        # host thread works while the device scores (~1 s for 100k titles)
         ts_q = [self._token_sort(queries.transformed[r]) for r in rem]
         ts_enc_rem = T.encode_titles(ts_q, cfg.max_characters)
         ts_len_rem = np.array(
             [min(len(s), cfg.max_characters) for s in ts_q], np.int32
         )
         pos_of_rem = {int(r): j for j, r in enumerate(rem)}
-
-        t0 = _time.time()
-        pending, _ = self.scorer.topk_device(
-            queries, k=k, rows=rem, probe_tables=self._probe_tables()
-        )
 
         # slot bookkeeping: slot = group offset + block slot · QB + row index
         slot_rows = []          # per group: int64[G·QB] rem-row ids (−1 pad)
@@ -590,6 +590,16 @@ class Matcher:
         q_len_m = queries.lengths[gq].astype(np.int32)
         q_wo_m, q_wo_len_m = remove_spaces_host(q_enc_m, q_len_m)
 
+        from collections import Counter as _Counter
+
+        LOGGER.info(
+            "model: %d rows, buckets %s", len(todo),
+            dict(_Counter(
+                (int(buckets_arr[min(t, len(buckets_arr) - 1)]),
+                 int(w_arr[min(w, len(w_arr) - 1)]))
+                for t, w in zip(tbi, wbi)
+            )),
+        )
         model_pend = []
         for ti, TL in enumerate(buckets):
             for wi, WL in enumerate(w_buckets):

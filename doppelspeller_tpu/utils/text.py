@@ -150,6 +150,12 @@ def trigram_ids_matrix(encoded: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     slots set to BIG_TRIGRAM.  No Python-level per-row loops.
     """
     B, L = encoded.shape
+    # trim to the longest actual title: the encoding is padded to 256 but
+    # typical titles are ~30-60 chars, and everything below is O(B·L)
+    L_eff = int(lengths.max(initial=3)) if B else 3
+    if L_eff < L:
+        encoded = encoded[:, :L_eff]
+        L = L_eff
     text = _FEATURE_TO_TEXT[encoded]                       # (B, L) −1 for pads
     ids = (
         text[:, :-2] * (N_TEXT_CHARS * N_TEXT_CHARS)

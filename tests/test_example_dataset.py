@@ -99,3 +99,68 @@ def test_full_example_parity(tmp_path):
     parity = json.loads(out.read_text())
     assert parity["ok"], parity
     assert parity["ours"]["custom_error"] <= 700
+
+
+def test_cascade_stages_on_real_data(example):
+    """Fuzzy + model stages on REAL example-dataset text (not synthetic):
+    misspelled test titles against a 4000-title truth subset, with a small
+    GBT trained on real pairs.  Asserts both stages produce matches, most
+    matches are correct, and the device cascade equals the host path on this
+    messier distribution (round-1 review: stages 2-3 were only exercised on
+    synthetic worlds)."""
+    from doppelspeller_tpu.models.gbt import GBTParams
+    from doppelspeller_tpu.models.trainer import train_model
+    from doppelspeller_tpu.pipeline import Matcher
+
+    cfg, truth_df, test_df = example
+    truth_sub = truth_df.iloc[:4000]
+    truth = TitleSet.from_titles(
+        [str(x) for x in truth_sub["name"]],
+        ids=truth_sub["company_id"].to_numpy(np.int64),
+        config=cfg,
+    )
+    tids = set(truth.ids.tolist())
+    # test rows whose actual is inside the truth subset + not-found rows
+    inside = test_df[test_df["company_id"].isin(tids)].iloc[:220]
+    notfound = test_df[test_df["company_id"] == -1].iloc[:80]
+    rows = pd.concat([inside, notfound])
+    queries = TitleSet.from_titles(
+        [str(x) for x in rows["name"]],
+        ids=rows["test_index"].to_numpy(np.int64),
+        config=cfg,
+    )
+    actual = rows["company_id"].to_numpy(np.int64)
+
+    # small-but-real model trained on real truth titles (misspelled pairs)
+    train_rows = inside.iloc[:120]
+    train = TitleSet.from_titles(
+        [str(x) for x in train_rows["name"]],
+        ids=np.arange(len(train_rows)),
+        labels=train_rows["company_id"].to_numpy(np.int64),
+        config=cfg,
+    )
+    params = GBTParams.from_config(cfg)
+    params.num_boost_round = 25
+    params.early_stopping_rounds = 25
+    model, _ = train_model(
+        config=cfg, train=train, truth=truth, params=params, save=False
+    )
+
+    res = {}
+    for impl in ("host", "device"):
+        m = Matcher(
+            cfg.with_(cascade_impl=impl), truth=truth, model=model,
+            use_index_checkpoint=False,
+        )
+        res[impl] = m.predict(queries)
+
+    h, d = res["host"], res["device"]
+    np.testing.assert_array_equal(h.match_title_id, d.match_title_id)
+    np.testing.assert_array_equal(h.stage, d.stage)
+    assert h.stage_counts == d.stage_counts
+
+    assert h.stage_counts["fuzzy"] > 20, h.stage_counts
+    assert h.stage_counts["model"] > 20, h.stage_counts
+    matched = h.match_title_id != -1
+    precision = (h.match_title_id[matched] == actual[matched]).mean()
+    assert precision > 0.9, (precision, h.stage_counts)
