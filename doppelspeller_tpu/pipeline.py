@@ -600,21 +600,33 @@ class Matcher:
                 for t, w in zip(tbi, wbi)
             )),
         )
+        small = max(slab // 8, 64)
         model_pend = []
         for ti, TL in enumerate(buckets):
             for wi, WL in enumerate(w_buckets):
                 if WL > TL:
                     continue
                 sub = np.flatnonzero((tbi == ti) & (wbi == wi))
-                for s in range(0, len(sub), slab):
-                    sl = sub[s : s + slab]
+                # full-size slabs, then the remainder in small slabs — the
+                # padding of a 2048-row slab would dominate tiny runs (two
+                # fixed shapes per bucket, not one per row count)
+                slabs = []
+                s = 0
+                while len(sub) - s >= slab:
+                    slabs.append((s, slab))
+                    s += slab
+                while s < len(sub):
+                    slabs.append((s, small))
+                    s += small
+                for s, width in slabs:
+                    sl = sub[s : s + width]
                     m = len(sl)
-                    idx = np.zeros(slab, np.int32)
+                    idx = np.zeros(width, np.int32)
                     idx[:m] = todo[sl, 0]
-                    qe = np.zeros((slab, TL), np.uint8)
-                    ql = np.zeros(slab, np.int32)
-                    qw = np.zeros((slab, TL), np.uint8)
-                    qwl = np.zeros(slab, np.int32)
+                    qe = np.zeros((width, TL), np.uint8)
+                    ql = np.zeros(width, np.int32)
+                    qw = np.zeros((width, TL), np.uint8)
+                    qwl = np.zeros(width, np.int32)
                     qe[:m] = q_enc_m[sl][:, :TL]
                     ql[:m] = q_len_m[sl]
                     qw[:m] = q_wo_m[sl][:, :TL]
@@ -622,9 +634,9 @@ class Matcher:
                     cand_slab = gather_rows(cand_all, self._put_rep(idx))
                     out = engine_m.decide_device(
                         qe, ql, qw, qwl, cand_slab,
-                        np.arange(slab, dtype=np.int64), TL, WL,
+                        np.arange(width, dtype=np.int64), TL, WL,
                     )
-                    model_pend.append((sl, m, pack_model(*out, n=slab)))
+                    model_pend.append((sl, m, pack_model(*out, n=width)))
 
         # ---- fetch barrier 2: model results -------------------------------
         hits = 0
