@@ -5,11 +5,8 @@ Usage: python scripts/bench_predict.py [n_titles] [n_queries] [reps]
 """
 
 import os
-import pickle
 import sys
 import time
-
-import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

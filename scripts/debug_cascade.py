@@ -15,9 +15,8 @@ n_titles = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
 n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 6_000
 
 import bench  # noqa: E402  (synthetic world + trainer helpers)
-from doppelspeller_tpu.config import Config, set_config
+from doppelspeller_tpu.config import set_config
 from doppelspeller_tpu.pipeline import Matcher
-from doppelspeller_tpu.utils.io import TitleSet
 
 cfg, truth, queries, _actual = bench.make_synthetic_world(n_titles, n_queries)
 set_config(cfg)
