@@ -12,6 +12,14 @@ test:
 lint:
 	$(PYTHON) scripts/lint.py
 
+# tests under coverage (reference setup.cfg always-on --cov; opt-in here so
+# the plain `make test` loop stays fast).  Requires `coverage` (not in the
+# hermetic dev image — degrades to plain pytest with a notice).
+test-cov:
+	@$(PYTHON) -c "import coverage" 2>/dev/null \
+	  && { $(PYTHON) -m coverage run -m pytest tests/ -q && $(PYTHON) -m coverage report; } \
+	  || { echo "coverage not installed; running plain pytest"; $(PYTHON) -m pytest tests/ -q; }
+
 # full train -> predict -> accuracy on the reference example dataset;
 # asserts custom error <= 700 and writes PARITY.json (reproducible parity)
 example-parity:
