@@ -43,6 +43,9 @@ def make_synthetic_world(n_titles: int, n_queries: int, seed: int = 7):
     from doppelspeller_tpu.utils.io import TitleSet
     from doppelspeller_tpu.utils.misspell import generate_misspelled_name
 
+    import json as _json
+
+    overrides = _json.loads(os.environ.get("BENCH_CFG", "{}"))
     rng = random.Random(seed)
     # zipf-ish word vocabulary: common suffixes + random stems
     common = [
@@ -65,7 +68,10 @@ def make_synthetic_world(n_titles: int, n_queries: int, seed: int = 7):
         return " ".join(words)
 
     titles = [make_title() for _ in range(n_titles)]
-    cfg = Config()
+    # BENCH_CFG='{"query_block": 128, ...}' overrides any Config field —
+    # the bench doubles as the perf lab for blocking-knob experiments
+    cfg = Config(**{k: tuple(v) if isinstance(v, list) else v
+                    for k, v in overrides.items()})
     truth = TitleSet.from_titles(
         titles, ids=np.arange(1, n_titles + 1, dtype=np.int64), config=cfg
     )
@@ -187,27 +193,54 @@ def main():
     matcher.predict(warm_short)
     print(f"# warmup: {time.time()-t0:.1f}s", file=sys.stderr)
 
-    # the tunnel-attached TPU's throughput swings 2-3x run to run (worker
-    # restarts, remote-compile contention); report steady-state = best of 2
-    # timed reps, with both in the log for the variance record
-    n_reps = int(os.environ.get("BENCH_REPS", "2"))
-    elapsed, result = None, None
+    # the tunnel-attached TPU's throughput swings run to run (worker
+    # restarts, remote contention); the HEADLINE is the median of >=3 timed
+    # reps, with every rep (and its stage split) in the JSON for the
+    # variance record.  BENCH_TRACE_DIR captures a jax.profiler trace
+    # around the first timed rep for attribution.
+    n_reps = int(os.environ.get("BENCH_REPS", "3"))
+    trace_dir = os.environ.get("BENCH_TRACE_DIR")
+    reps = []
+    result = None
     for rep in range(n_reps):
+        if rep == 0 and trace_dir:
+            import contextlib
+
+            import jax
+
+            ctx = jax.profiler.trace(trace_dir)
+        else:
+            import contextlib
+
+            ctx = contextlib.nullcontext()
         t0 = time.time()
-        r = matcher.predict(queries)
+        with ctx:
+            r = matcher.predict(queries)
         dt = time.time() - t0
         print(f"# predict rep{rep}: {dt:.1f}s  ({n_queries/dt:.0f} q/s)",
               file=sys.stderr)
-        if elapsed is None or dt < elapsed:
-            elapsed, result = dt, r
+        reps.append({
+            "elapsed_seconds": round(dt, 2),
+            "stage_seconds": {k: round(v, 2) for k, v in r.stage_seconds.items()},
+        })
+        if result is None:
+            result = r
+    ordered = sorted(reps, key=lambda x: x["elapsed_seconds"])
+    median = ordered[len(ordered) // 2]
+    elapsed = median["elapsed_seconds"]
     qps = n_queries / elapsed
 
     correct = float((result.match_title_id == actual).mean())
-    print(f"# predict: {elapsed:.1f}s  ({qps:.0f} q/s)  accuracy={correct:.4f}  "
-          f"stages={result.stage_counts}", file=sys.stderr)
+    print(f"# predict: median {elapsed:.1f}s  ({qps:.0f} q/s)  "
+          f"accuracy={correct:.4f}  stages={result.stage_counts}",
+          file=sys.stderr)
 
-    # regression gate: a perf "win" must not silently buy throughput with
-    # accuracy (bfloat16 scoring / approx top-k are the risky knobs)
+    # ---- accuracy gates -------------------------------------------------
+    # (a) absolute floor backstop; (b) oracle anchor: a sample of queries is
+    # re-matched with the EXACT configuration (float32 scoring, exact top-k)
+    # and the fast path must be within BENCH_ORACLE_DELTA of it — so
+    # bfloat16 scoring / approx top-k can never silently buy throughput
+    # with accuracy (VERDICT r2 #5).
     floor = float(os.environ.get("BENCH_ACCURACY_FLOOR", "0.80"))
     if n_queries >= 10_000 and correct < floor:
         print(json.dumps({
@@ -217,6 +250,40 @@ def main():
         }))
         raise SystemExit(f"accuracy {correct:.4f} < floor {floor}")
 
+    oracle_n = int(os.environ.get("BENCH_ORACLE_QUERIES", "6000"))
+    oracle = None
+    if oracle_n and n_queries >= 20_000:
+        from doppelspeller_tpu.utils.io import TitleSet as _TSo
+
+        stride = max(n_queries // oracle_n, 1)
+        idx = np.arange(0, n_queries, stride)[:oracle_n]
+        sample = _TSo.from_titles(
+            [queries.titles[i] for i in idx], ids=queries.ids[idx], config=cfg
+        )
+        cfg_exact = cfg.with_(score_dtype="float32", topk_recall_target=1.0)
+        t0 = time.time()
+        m_exact = Matcher(cfg_exact, truth=truth, index=index, model=model,
+                          use_index_checkpoint=False)
+        r_o = m_exact.predict(sample)
+        acc_oracle = float((r_o.match_title_id == actual[idx]).mean())
+        acc_fast = float((result.match_title_id[idx] == actual[idx]).mean())
+        delta = float(os.environ.get("BENCH_ORACLE_DELTA", "0.01"))
+        oracle = {"sample": len(idx), "oracle_accuracy": round(acc_oracle, 4),
+                  "fast_accuracy": round(acc_fast, 4),
+                  "oracle_seconds": round(time.time() - t0, 1)}
+        print(f"# oracle anchor: exact-config {acc_oracle:.4f} vs fast "
+              f"{acc_fast:.4f} on {len(idx)} sampled queries "
+              f"({oracle['oracle_seconds']}s)", file=sys.stderr)
+        if acc_fast < acc_oracle - delta:
+            print(json.dumps({
+                "metric": "BENCH FAILED: fast config loses accuracy vs exact oracle",
+                "value": round(acc_fast - acc_oracle, 4), "unit": "accuracy delta",
+                "vs_baseline": 0.0,
+            }))
+            raise SystemExit(
+                f"fast accuracy {acc_fast:.4f} < oracle {acc_oracle:.4f} - {delta}"
+            )
+
     print(json.dumps({
         "metric": f"end-to-end match throughput ({n_queries} queries x {n_titles} titles, 1 chip)",
         "value": round(qps, 1),
@@ -224,9 +291,10 @@ def main():
         "vs_baseline": round(qps / BASELINE_QPS, 2),
         "accuracy": round(correct, 4),
         "stage_counts": result.stage_counts,
-        "stage_seconds": {k: round(v, 2) for k, v in
-                          getattr(result, "stage_seconds", {}).items()},
+        "stage_seconds": median["stage_seconds"],
         "elapsed_seconds": round(elapsed, 2),
+        "reps": reps,
+        "oracle": oracle,
     }))
 
 

@@ -82,13 +82,27 @@ def build_index():
 
 
 @cli.command()
+@click.option("--devices", default=0, type=int,
+              help="Train on an N-device mesh: candidate retrieval over the "
+                   "title-sharded index, boosting data-parallel over samples "
+                   "with psum-ed histograms. 0 = single device.")
+@click.option("--platform", default=None,
+              help="Device platform for the mesh (e.g. 'cpu' to use virtual "
+                   "CPU devices via --xla_force_host_platform_device_count).")
 @time_usage
-def train_model():
+def train_model(devices, platform):
     """Train the model."""
     from doppelspeller_tpu.models.trainer import train_model as _train
 
     LOGGER.info("Training the model!")
-    model, report = _train()
+    mesh = None
+    if devices:
+        from doppelspeller_tpu.config import get_config
+        from doppelspeller_tpu.parallel.sharded import make_mesh
+
+        mesh = make_mesh(devices, axis=get_config().mesh_axis,
+                         platform=platform)
+    model, report = _train(mesh=mesh)
     em = report["error_matrix"]
     click.echo(
         f"trees={model.num_trees} best={model.best_ntree_limit} "

@@ -120,6 +120,16 @@ class Config:
     # fixed rerank dispatch size (rows per stage-3 slab; padded, so every
     # slab reuses one compiled program per (length, word-length) bucket)
     model_slab: int = 2048
+    # adaptive candidate depth for the model stage: wave A scores only the
+    # top model_depth_initial jaccard candidates per row; rows whose best
+    # wave-A probability >= model_widen_threshold are re-decided over all
+    # top_n_predicting candidates (wave B).  Rows below the threshold are
+    # final-unmatched without scoring the tail — on jaccard-sorted
+    # candidates the argmax virtually always sits in the head (parity
+    # gated by tests + the bench oracle anchor).  0 disables (always
+    # score every candidate, the reference-shaped behavior).
+    model_depth_initial: int = 32
+    model_widen_threshold: float = 0.3
     # length buckets for DP kernels
     length_buckets: Tuple[int, ...] = (32, 64, 128, 256)
     # mesh axis name used by the sharded index

@@ -412,7 +412,15 @@ def predict_forest_margin(
         jnp.maximum(f_int, 0).reshape(-1)[None, :]
         == jnp.arange(F, dtype=jnp.int32)[:, None]
     ).astype(X.dtype)                                  # (F, T·I)
-    x_clean = jnp.where(jnp.isnan(X), jnp.float32(-1e30), X)
+    # Missing values ride through the matmul as a -1e30 sentinel (the one-hot
+    # rows have a single 1.0, so Precision.HIGHEST preserves it bit-exactly).
+    # Finite features are clipped to ±1e18 first so no legitimate value can
+    # ever cross the -1e20 detection threshold below (the 66 reference
+    # features are ratios/lengths/IDFs, all << 1e18, so the clip is a no-op
+    # in practice — it just makes the sentinel invariant explicit).
+    x_clean = jnp.where(
+        jnp.isnan(X), jnp.float32(-1e30), jnp.clip(X, -1e18, 1e18)
+    )
     x_sel = jax.lax.dot_general(
         x_clean, onehot_f,
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -459,20 +467,23 @@ def _predict_raw_kernel(X, feat, thr, missing_left, value, is_leaf, *, depth, ba
 
 # ------------------------------------------------------------------ training
 
-@partial(
-    jax.jit,
-    static_argnames=("depth", "n_rounds", "eta", "beta", "threshold",
-                     "lambda_", "min_child_weight", "base_margin"),
-)
-def _boost_scan(
-    bins: jnp.ndarray, y: jnp.ndarray,
-    bins_e: jnp.ndarray, y_e: jnp.ndarray,
+def _boost_scan_body(
+    bins: jnp.ndarray, y: jnp.ndarray, w: jnp.ndarray,
+    bins_e: jnp.ndarray, y_e: jnp.ndarray, w_e: jnp.ndarray,
     m0: jnp.ndarray, me0: jnp.ndarray,
     *, depth: int, n_rounds: int, eta: float, beta: float, threshold: float,
     lambda_: float, min_child_weight: float, base_margin: float,
+    axis_name: Optional[str] = None,
 ):
     """A segment of the boosting loop as ONE device program: no host
     round-trips per round (the dominant cost through the TPU tunnel).
+
+    ``w``/``w_e`` are {0, 1} sample weights — 0 marks shard-padding rows in
+    the data-parallel path so they contribute nothing to histograms or error
+    metrics.  With ``axis_name`` set (under shard_map) the histograms are
+    psum-ed inside build_tree_kernel and the error sums here, so every device
+    grows the identical tree from its local sample shard.
+
     Returns stacked tree arrays, per-round train/eval custom-error
     histories, and the final margins (to chain segments)."""
     N, F = bins.shape
@@ -481,8 +492,9 @@ def _boost_scan(
         margins, margins_e = carry
         g, h = margin_grad_hess(margins, y, beta)
         feat, split_bin, missing_left, value, is_leaf = build_tree_kernel(
-            bins, g, h, depth=depth, n_features=F,
+            bins, g * w, h * w, depth=depth, n_features=F,
             lambda_=lambda_, min_child_weight=min_child_weight,
+            axis_name=axis_name,
         )
         value = value * eta
         margins = margins + predict_tree_binned(
@@ -492,15 +504,18 @@ def _boost_scan(
             bins_e, feat, split_bin, missing_left, value, is_leaf, depth=depth
         )
 
-        def dev_err(margin, yy):
+        def dev_err(margin, yy, ww):
             pred = jax.nn.sigmoid(margin)
             pos = pred > threshold
-            fn = jnp.sum(yy * (~pos))
-            fp = jnp.sum((1.0 - yy) * pos) * beta
-            return fn + fp
+            fn = jnp.sum(ww * yy * (~pos))
+            fp = jnp.sum(ww * (1.0 - yy) * pos) * beta
+            err = fn + fp
+            if axis_name is not None:
+                err = jax.lax.psum(err, axis_name)
+            return err
 
         out = (feat, split_bin, missing_left, value, is_leaf,
-               dev_err(margins, y), dev_err(margins_e, y_e))
+               dev_err(margins, y, w), dev_err(margins_e, y_e, w_e))
         return (margins, margins_e), out
 
     (margins, margins_e), outs = jax.lax.scan(
@@ -509,11 +524,42 @@ def _boost_scan(
     return outs + (margins, margins_e)
 
 
+_boost_scan = partial(jax.jit, static_argnames=(
+    "depth", "n_rounds", "eta", "beta", "threshold",
+    "lambda_", "min_child_weight", "base_margin",
+))(_boost_scan_body)
+
+
+def _boost_scan_sharded(mesh, **static):
+    """shard_map'd boosting segment: samples (train AND eval) sharded over
+    the mesh's first axis, histograms/errors psum-ed, identical (replicated)
+    trees grown on every device.  TPU-native equivalent of distributed
+    XGBoost histogram aggregation (SURVEY.md §2.4)."""
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+    axis = mesh.axis_names[0]
+    fn = shard_map(
+        partial(_boost_scan_body, axis_name=axis, **static),
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P(axis), P(axis)),
+        out_specs=(P(), P(), P(), P(), P(), P(), P(), P(axis), P(axis)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def train_gbt(
     X: np.ndarray, y: np.ndarray,
     X_eval: np.ndarray, y_eval: np.ndarray,
     params: Optional[GBTParams] = None,
     verbose_every: int = 25,
+    mesh=None,
 ) -> GBTModel:
     """Boosting (reference train.py:85-137 semantics).
 
@@ -523,22 +569,68 @@ def train_gbt(
     can fault the TPU runtime).  Early stopping is applied with XGBoost
     semantics at segment granularity — training stops after the first
     segment whose best round is ≥ early_stopping_rounds old, trees beyond
-    the stop point are discarded, best_ntree_limit = best_round + 1."""
+    the stop point are discarded, best_ntree_limit = best_round + 1.
+
+    ``mesh``: an optional 1-D jax.sharding.Mesh — samples are sharded over
+    the mesh axis (rows padded with weight-0 entries to a device multiple),
+    per-shard histograms are psum-ed over ICI inside the tree builder, and
+    every device grows the identical tree (data-parallel training, a
+    capability the single-node reference lacks)."""
     p = params or GBTParams()
     N, F = X.shape
     edges = compute_bin_edges(X)
     Xb = bin_features(X, edges)
     Xe = bin_features(X_eval, edges)
     y_eval_np = y_eval.astype(np.float32)
+    Ne = len(X_eval)
 
     scan_chunk = min(50, p.num_boost_round)
     base_margin = _logit(p.base_score)
-    bins_d = jnp.asarray(Xb)
-    y_d = jnp.asarray(y.astype(np.float32))
-    bins_e_d = jnp.asarray(Xe)
-    y_e_d = jnp.asarray(y_eval_np)
-    m = jnp.full((N,), base_margin, jnp.float32)
-    me = jnp.full((len(X_eval),), base_margin, jnp.float32)
+    w_np = np.ones(N, np.float32)
+    w_e_np = np.ones(Ne, np.float32)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = int(mesh.devices.size)
+
+        def _pad_rows(a, n_to, fill=0):
+            if len(a) == n_to:
+                return a
+            pad_shape = (n_to - len(a),) + a.shape[1:]
+            return np.concatenate([a, np.full(pad_shape, fill, a.dtype)])
+
+        Np = ((N + n_dev - 1) // n_dev) * n_dev
+        Nep = ((Ne + n_dev - 1) // n_dev) * n_dev
+        Xb = _pad_rows(Xb, Np)
+        Xe = _pad_rows(Xe, Nep)
+        w_np = _pad_rows(w_np, Np)
+        w_e_np = _pad_rows(w_e_np, Nep)
+        y_np = _pad_rows(y.astype(np.float32), Np)
+        y_e_pad = _pad_rows(y_eval_np, Nep)
+        sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+        put = lambda a: jax.device_put(a, sh)  # noqa: E731
+        scan_cache = {}
+
+        def get_scan(n_rounds, **static):
+            key = n_rounds
+            if key not in scan_cache:
+                scan_cache[key] = _boost_scan_sharded(
+                    mesh, n_rounds=n_rounds, **static
+                )
+            return scan_cache[key]
+    else:
+        y_np = y.astype(np.float32)
+        y_e_pad = y_eval_np
+        put = jnp.asarray
+        get_scan = None
+    bins_d = put(Xb)
+    y_d = put(y_np)
+    w_d = put(w_np)
+    bins_e_d = put(Xe)
+    y_e_d = put(y_e_pad)
+    w_e_d = put(w_e_np)
+    m = put(np.full((len(Xb),), base_margin, np.float32))
+    me = put(np.full((len(Xe),), base_margin, np.float32))
 
     chunks = []
     err_train_l: List[np.ndarray] = []
@@ -553,14 +645,22 @@ def train_gbt(
     me_host = np.asarray(me)
     while rounds_done < p.num_boost_round:
         n_rounds = min(scan_chunk, p.num_boost_round - rounds_done)
+        static = dict(
+            depth=p.depth, n_rounds=n_rounds, eta=p.eta, beta=p.beta,
+            threshold=p.threshold, lambda_=p.lambda_,
+            min_child_weight=p.min_child_weight, base_margin=base_margin,
+        )
         for attempt in range(4):
             try:
-                outs = _boost_scan(
-                    bins_d, y_d, bins_e_d, y_e_d, m, me,
-                    depth=p.depth, n_rounds=n_rounds, eta=p.eta, beta=p.beta,
-                    threshold=p.threshold, lambda_=p.lambda_,
-                    min_child_weight=p.min_child_weight, base_margin=base_margin,
-                )
+                if mesh is not None:
+                    outs = get_scan(**static)(
+                        bins_d, y_d, w_d, bins_e_d, y_e_d, w_e_d, m, me
+                    )
+                else:
+                    outs = _boost_scan(
+                        bins_d, y_d, w_d, bins_e_d, y_e_d, w_e_d, m, me,
+                        **static,
+                    )
                 chunk_arrays = tuple(np.asarray(o) for o in outs[:5])
                 e_tr, e_ev = np.asarray(outs[5]), np.asarray(outs[6])
                 m, me = outs[7], outs[8]
@@ -576,12 +676,14 @@ def train_gbt(
                 import time as _time
 
                 _time.sleep(75.0)  # a crashed TPU worker takes ~1-2 min to return
-                bins_d = jnp.asarray(Xb)
-                y_d = jnp.asarray(y.astype(np.float32))
-                bins_e_d = jnp.asarray(Xe)
-                y_e_d = jnp.asarray(y_eval_np)
-                m = jnp.asarray(m_host)
-                me = jnp.asarray(me_host)
+                bins_d = put(Xb)
+                y_d = put(y_np)
+                w_d = put(w_np)
+                bins_e_d = put(Xe)
+                y_e_d = put(y_e_pad)
+                w_e_d = put(w_e_np)
+                m = put(m_host)
+                me = put(me_host)
         chunks.append(chunk_arrays)
         err_train_l.append(e_tr)
         err_eval_l.append(e_ev)
@@ -608,8 +710,8 @@ def train_gbt(
         np.concatenate([c[j] for c in chunks])[:T] for j in range(5)
     )
 
-    pt = 1.0 / (1.0 + np.exp(-np.asarray(m)))
-    pe = 1.0 / (1.0 + np.exp(-np.asarray(me)))
+    pt = 1.0 / (1.0 + np.exp(-np.asarray(m)[:N]))   # trim shard padding
+    pe = 1.0 / (1.0 + np.exp(-np.asarray(me)[:Ne]))
     history = {
         "train_error": err_train[:T].tolist(),
         "eval_error": err_eval[:T].tolist(),

@@ -188,17 +188,35 @@ def train_model(
     scorer: Optional[JaccardScorer] = None,
     params: Optional[GBTParams] = None,
     save: bool = True,
+    mesh=None,
 ) -> Tuple[GBTModel, dict]:
     """End-to-end training (reference train.py:85-137).  Returns the model
-    and a report dict (error matrix, feature importance, history)."""
+    and a report dict (error matrix, feature importance, history, timings).
+
+    ``mesh``: optional 1-D jax.sharding.Mesh — candidate retrieval runs over
+    the title-sharded index and boosting runs data-parallel over the sample
+    axis with psum-ed histograms (see gbt.train_gbt)."""
+    import time as _time
+
     cfg = config or get_config()
+    timings = {}
+    t0 = _time.time()
     truth = truth or load_ground_truth(cfg)
     train = train or load_train_data(cfg)
     if scorer is None:
-        scorer = JaccardScorer(build_truth_index(truth, cfg), cfg)
+        index = build_truth_index(truth, cfg)
+        if mesh is not None:
+            from doppelspeller_tpu.parallel.sharded import ShardedJaccardScorer
+
+            scorer = ShardedJaccardScorer(index, mesh, cfg)
+        else:
+            scorer = JaccardScorer(index, cfg)
+    timings["setup_seconds"] = _time.time() - t0
 
     rng = random.Random(cfg.seed)
+    t0 = _time.time()
     pairs = assemble_training_pairs(train, truth, scorer, cfg, rng)
+    timings["candidates_seconds"] = _time.time() - t0
     LOGGER.info(
         "Assembled %d pairs (generated %d / negative %d / positive %d)",
         len(pairs.kind),
@@ -208,7 +226,9 @@ def train_model(
     )
 
     word_counts = WordCounts(truth)
+    t0 = _time.time()
     X = build_feature_matrix(pairs, word_counts, len(truth), cfg)
+    timings["features_seconds"] = _time.time() - t0
     y = pairs.target
 
     eval_idx = evaluation_indexes(pairs.kind, cfg)
@@ -219,7 +239,15 @@ def train_model(
     LOGGER.info("Train %d rows / eval %d rows", len(y_train), len(y_eval))
 
     params = params or GBTParams.from_config(cfg)
-    model = train_gbt(X_train, y_train, X_eval, y_eval, params)
+    t0 = _time.time()
+    model = train_gbt(X_train, y_train, X_eval, y_eval, params, mesh=mesh)
+    timings["boosting_seconds"] = _time.time() - t0
+    LOGGER.info(
+        "train timings: setup %.1fs | candidates %.1fs | features %.1fs | "
+        "boosting %.1fs",
+        timings["setup_seconds"], timings["candidates_seconds"],
+        timings["features_seconds"], timings["boosting_seconds"],
+    )
 
     pred_eval = model.predict(X_eval)
     tp, tn, fp, fn = error_matrix(pred_eval, y_eval, cfg.prediction_probability_threshold)
@@ -240,6 +268,7 @@ def train_model(
         "feature_importance": model.feature_importance(),
         "history": model.history,
         "n_pairs": len(y),
+        "timings": timings,
     }
     if save:
         model.save(cfg.model_path)

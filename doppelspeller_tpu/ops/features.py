@@ -167,21 +167,34 @@ def _features_kernel(
     # 15-word axis / a one-hot char matmul — TPU has no hardware gather and
     # XLA's per-element take_along_axis costs ~40 ns/element.
     t_pos = jax.lax.broadcasted_iota(jnp.int32, (B, TL), 1)
-    ind = (offsets[:, :, None] <= t_pos[:, None, :]).astype(jnp.float32)
+    # bfloat16 one-hot matmuls where exactness holds: the gathered values
+    # (offsets ≤ TL+W, positions/lengths ≤ TL, char codes ≤ 37) are integers
+    # ≤ 256, which bf16 represents exactly, and each one-hot row has a single
+    # 1.0 so the f32-accumulated dot is exact.  Halves the HBM traffic of
+    # the fattest intermediates in the kernel ((B, TL, TL) and (B, W, TL)).
+    sel_dt = jnp.bfloat16 if TL + W <= 256 else jnp.float32
+    ind = (offsets[:, :, None] <= t_pos[:, None, :]).astype(sel_dt)
     sel = ind - jnp.concatenate(                                   # (B, W, TL)
-        [ind[:, 1:, :], jnp.zeros((B, 1, TL), jnp.float32)], axis=1
+        [ind[:, 1:, :], jnp.zeros((B, 1, TL), sel_dt)], axis=1
     )                                                              # one-hot in w
-    g = lambda x: jnp.einsum(                                      # noqa: E731
-        "bw,bwt->bt", x.astype(jnp.float32), sel
-    )
+    g = lambda x: jax.lax.dot_general(                             # noqa: E731
+        x.astype(sel_dt)[:, None, :], sel,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )[:, 0, :]
     m_t = g(matched) > 0.5
     rl_t = g(rec_len).astype(jnp.int32)
     j_t = t_pos - g(offsets).astype(jnp.int32)
     src = jnp.clip(g(best_p).astype(jnp.int32) + j_t, 0, TL - 1)
     # char pick: one-hot over source positions → MXU (codes ≤ 37, exact)
+    ch_dt = jnp.bfloat16 if TL <= 256 else jnp.float32
     s_iota = jax.lax.broadcasted_iota(jnp.int32, (B, TL, TL), 2)
-    ch_oh = (src[:, :, None] == s_iota).astype(jnp.float32)        # (B, TL, TL)
-    ch = jnp.einsum("bts,bs->bt", ch_oh, q_wo.astype(jnp.float32)).astype(jnp.uint8)
+    ch_oh = (src[:, :, None] == s_iota).astype(ch_dt)              # (B, TL, TL)
+    ch = jax.lax.dot_general(
+        ch_oh, q_wo.astype(ch_dt),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.uint8)
     ch = jnp.where(m_t & (j_t < rl_t), ch, jnp.uint8(SPACE_CODE))
     recon = jnp.where(t_pos < recon_len[:, None], ch, jnp.uint8(0))
     recon_ratio = _floor_ratio(

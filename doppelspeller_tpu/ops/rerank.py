@@ -101,7 +101,7 @@ def _fused_rerank_kernel(
 
 
 @partial(jax.jit, static_argnames=("tl", "wl", "depth", "window_impl", "chunk",
-                                   "threshold"))
+                                   "threshold", "narrow", "col_lo"))
 def _rerank_decide_kernel(
     q_enc, q_len, q_wo, q_wo_len,      # (R, TL) bucket-sliced query arrays
     t_enc, t_len, t_wchars, t_start, t_wlen, t_nwords, t_counts,   # resident
@@ -110,22 +110,28 @@ def _rerank_decide_kernel(
     rows,                              # (R,) int32 rows of ``cand`` to process
     n_truth, base_margin,
     *, tl: int, wl: int, depth: int, window_impl: str, chunk: int,
-    threshold: float,
+    threshold: float, narrow: int = 0, col_lo: int = 0,
 ):
     """Stage-3 decision for a bucket of query rows entirely on device.
 
-    Per row: GBT probability for all K candidates, per-row max; matched iff
-    the max is unique and > threshold (predict.py:243-252).  Returns
-    (matched bool[R], best_pos int32[R] — truth position of the argmax
-    candidate, best_pred float32[R]).
+    Per row: GBT probability for candidate columns
+    [col_lo, col_lo + narrow) (the whole tail from col_lo when narrow=0);
+    the final match rule — unique max and > threshold, predict.py:243-252 —
+    is applied by the caller from the returned statistics, so partial-column
+    waves of the adaptive-depth cascade can be merged EXACTLY (per-pair
+    predictions are independent of batching, hence bitwise identical
+    across waves).  Returns (n_at_max int32[R], best_pos int32[R] — truth
+    position of the first argmax candidate, best_pred float32[R]).
     """
-    K = cand.shape[1]
+    K = narrow if narrow else cand.shape[1] - col_lo
     R = rows.shape[0]
+    del threshold  # decision applied by the caller (kept in the signature
+    #                so cache keys stay explicit about the config)
 
     def step(_, sl):
         qe, ql, qw, qwl, rws = sl                   # (C, ...) slice
         C = qe.shape[0]
-        cd = cand[rws]                              # (C, K)
+        cd = cand[rws][:, col_lo : col_lo + K]      # (C, K)
         pair_t = cd.reshape(-1)
         rep = lambda x: jnp.repeat(x, K, axis=0)
         chars = _word_chars(t_wchars, t_start, t_wlen, t_enc, pair_t, wl)
@@ -140,19 +146,18 @@ def _rerank_decide_kernel(
             tl=tl, wl=wl, depth=depth, window_impl=window_impl,
         ).reshape(C, K)
         mx = preds.max(axis=1)
-        cnt = (preds == mx[:, None]).sum(axis=1)
-        matched = (cnt == 1) & (mx > threshold)
+        cnt = (preds == mx[:, None]).sum(axis=1).astype(jnp.int32)
         best_col = jnp.argmax(preds, axis=1).astype(jnp.int32)
         best_pos = jnp.take_along_axis(cd, best_col[:, None], axis=1)[:, 0]
-        return None, (matched, best_pos, mx)
+        return None, (cnt, best_pos, mx)
 
     n_chunks = R // chunk
     xs = tuple(
         x.reshape((n_chunks, chunk) + x.shape[1:])
         for x in (q_enc, q_len, q_wo, q_wo_len, rows)
     )
-    _, (matched, best_pos, best_pred) = jax.lax.scan(step, None, xs)
-    return matched.reshape(-1), best_pos.reshape(-1), best_pred.reshape(-1)
+    _, (cnt, best_pos, best_pred) = jax.lax.scan(step, None, xs)
+    return cnt.reshape(-1), best_pos.reshape(-1), best_pred.reshape(-1)
 
 
 class RerankEngine:
@@ -215,23 +220,31 @@ class RerankEngine:
         """Device decisions for a bucket of rows (see _rerank_decide_kernel).
         Returns host (matched, best_pos, best_pred) trimmed to R."""
         R = len(rows)
-        matched, best_pos, best_pred = self.decide_device(
+        cnt, best_pos, best_pred = self.decide_device(
             q_enc, q_len, q_wo, q_wo_len, cand_d, rows, tl, wl
         )
-        return (np.asarray(matched)[:R], np.asarray(best_pos)[:R],
-                np.asarray(best_pred)[:R])
+        cnt = np.asarray(cnt)[:R]
+        best_pred = np.asarray(best_pred)[:R]
+        matched = (cnt == 1) & (
+            best_pred > self.cfg.prediction_probability_threshold
+        )
+        return matched, np.asarray(best_pos)[:R], best_pred
 
     def decide_device(
         self,
         q_enc: np.ndarray, q_len: np.ndarray,
         q_wo: np.ndarray, q_wo_len: np.ndarray,
         cand_d, rows: np.ndarray, tl: int, wl: int,
+        narrow: int = 0, col_lo: int = 0,
     ):
-        """Like :meth:`decide` but the (padded) result vectors stay on device
-        — the caller packs/fetches them (each fetch costs a tunnel RTT)."""
+        """Like :meth:`decide` but returning raw per-row statistics
+        (n_at_max, best_pos, best_pred) as (padded) device vectors — the
+        caller merges waves, applies the match rule, and packs/fetches
+        (each fetch costs a tunnel RTT).  ``narrow``/``col_lo`` select the
+        candidate-column window [col_lo, col_lo+narrow) to score."""
         cfg = self.cfg
         R = len(rows)
-        k = int(cand_d.shape[1])
+        k = narrow if narrow else int(cand_d.shape[1]) - col_lo
         # pairs per scan step bounded by the window-DP footprint of the path
         # _features_kernel will actually take (mirrors features.py pallas gate)
         if self._window_impl.startswith("pallas") and wl <= 32 and tl % 8 == 0:
@@ -249,6 +262,7 @@ class RerankEngine:
             _rerank_decide_kernel,
             tl=tl, wl=wl, depth=self.depth, window_impl=self._window_impl,
             chunk=chunk, threshold=cfg.prediction_probability_threshold,
+            narrow=narrow, col_lo=col_lo,
         )
         if self.mesh is None:
             fn = kern

@@ -107,9 +107,9 @@ def _jit_helpers():
     from functools import partial as _partial
 
     @_partial(jax.jit, static_argnames=("n",))
-    def pack_model(matched, best_pos, pred, *, n):
+    def pack_model(n_at_max, best_pos, pred, *, n):
         return jnp.stack([
-            matched[:n].astype(jnp.float32),
+            n_at_max[:n].astype(jnp.float32),   # tie count <= K: exact in f32
             best_pos[:n].astype(jnp.float32),   # positions < 2^24: exact in f32
             pred[:n],
         ])
@@ -169,6 +169,15 @@ class Matcher:
         self.cfg = config or get_config()
         self.mesh = mesh
         self.truth = truth or load_ground_truth(self.cfg)
+        if len(self.truth) >= 2 ** 24:
+            # the device cascade packs truth positions through float32
+            # (_jit_helpers.pack_model), exact only below 2^24 — fail loudly
+            # rather than silently corrupt matched positions
+            raise ValueError(
+                f"truth set has {len(self.truth)} titles >= 2^24; the device "
+                "cascade's float32 position packing would lose exactness "
+                "(shard the index across a mesh instead)"
+            )
         if index is None and use_index_checkpoint and os.path.exists(self.cfg.index_path):
             # resume from the checkpointed index (cli.py build-index) — the
             # reference rebuilds its MatchMaker from CSV on every run
@@ -453,12 +462,14 @@ class Matcher:
         buckets.append(cfg.max_characters)
         buckets_arr = np.asarray(buckets)
         q_len_all = queries.lengths.astype(np.int64)
-        # a fuzzy-considered candidate satisfies |q|·94/106 ≤ |t| ≤ |q|·106/94
-        # (the length-delta prefilter at threshold 94, predict.py:150), and
-        # token-sorting preserves lengths — so the fuzzy DP tile only needs
-        # max(|q|, ⌈|q|·106/94⌉) regardless of the candidates
+        # a fuzzy-considered candidate satisfies the length-delta prefilter
+        # (tot−Δ)/tot·100 ≥ thr  ⇒  |t| ≤ ⌈|q|·(200−thr)/thr⌉ (predict.py:150;
+        # at thr=94 this is the familiar |q|·106/94), and token-sorting
+        # preserves lengths — so the fuzzy DP tile only needs
+        # max(|q|, ⌈|q|·(200−thr)/thr⌉) regardless of the candidates
+        thr_i = int(cfg.levenshtein_ratio_threshold)
         need_all = np.minimum(
-            (q_len_all * 106 + 93) // 94, cfg.max_characters
+            (q_len_all * (200 - thr_i) + thr_i - 1) // thr_i, cfg.max_characters
         ).astype(np.int64)
         titles = np.array(queries.transformed, dtype=object)
         fzb = np.searchsorted(buckets_arr, need_all[rem])
@@ -576,11 +587,20 @@ class Matcher:
         gq = todo[:, 1]
         tl_need = np.maximum(queries.lengths[gq].astype(np.int64), todo[:, 2])
         wl_need = np.maximum(todo[:, 3], 1)
-        w_buckets = [b for b in (16, 32) if b < cfg.max_characters]
+        # the 64 entry matters: without it a 33-64 char candidate word would
+        # clamp its row all the way to the (max, max) bucket, whose XLA
+        # window-DP state is ~60x the (64, 64) cell's (ADVICE r2 medium)
+        w_buckets = [b for b in (16, 32, 64) if b < cfg.max_characters]
         w_buckets.append(cfg.max_characters)
         w_arr = np.asarray(w_buckets)
         tbi = np.searchsorted(buckets_arr, np.minimum(tl_need, cfg.max_characters))
         wbi = np.searchsorted(w_arr, np.minimum(wl_need, cfg.max_characters))
+        # a row whose word bucket exceeds its title bucket (e.g. a spaceless
+        # 40-char candidate word against a short query) must be clamped UP to
+        # the first title bucket that holds the word bucket — the dispatch
+        # loop below only visits (TL, WL) cells with WL <= TL
+        ti_min_for_w = np.searchsorted(buckets_arr, w_arr)
+        tbi = np.maximum(tbi, ti_min_for_w[wbi])
 
         from doppelspeller_tpu.ops.features import remove_spaces_host
 
@@ -601,58 +621,124 @@ class Matcher:
             )),
         )
         small = max(slab // 8, 64)
-        model_pend = []
-        for ti, TL in enumerate(buckets):
-            for wi, WL in enumerate(w_buckets):
-                if WL > TL:
-                    continue
-                sub = np.flatnonzero((tbi == ti) & (wbi == wi))
-                # full-size slabs, then the remainder in small slabs — the
-                # padding of a 2048-row slab would dominate tiny runs (two
-                # fixed shapes per bucket, not one per row count)
-                slabs = []
-                s = 0
-                while len(sub) - s >= slab:
-                    slabs.append((s, slab))
-                    s += slab
-                while s < len(sub):
-                    slabs.append((s, small))
-                    s += small
-                for s, width in slabs:
-                    sl = sub[s : s + width]
-                    m = len(sl)
-                    idx = np.zeros(width, np.int32)
-                    idx[:m] = todo[sl, 0]
-                    qe = np.zeros((width, TL), np.uint8)
-                    ql = np.zeros(width, np.int32)
-                    qw = np.zeros((width, TL), np.uint8)
-                    qwl = np.zeros(width, np.int32)
-                    qe[:m] = q_enc_m[sl][:, :TL]
-                    ql[:m] = q_len_m[sl]
-                    qw[:m] = q_wo_m[sl][:, :TL]
-                    qwl[:m] = q_wo_len_m[sl]
-                    cand_slab = gather_rows(cand_all, self._put_rep(idx))
-                    out = engine_m.decide_device(
-                        qe, ql, qw, qwl, cand_slab,
-                        np.arange(width, dtype=np.int64), TL, WL,
-                    )
-                    model_pend.append((sl, m, pack_model(*out, n=width)))
+
+        def dispatch_wave(rows_t: np.ndarray, narrow: int, col_lo: int = 0):
+            """Dispatch decide slabs for ``rows_t`` (indices into todo).
+            Returns [(sl, m, packed_device)] with sl indexing todo."""
+            pend = []
+            for ti, TL in enumerate(buckets):
+                for wi, WL in enumerate(w_buckets):
+                    if WL > TL:
+                        continue
+                    sub = rows_t[(tbi[rows_t] == ti) & (wbi[rows_t] == wi)]
+                    # full-size slabs, then the remainder in small slabs —
+                    # the padding of a 2048-row slab would dominate tiny
+                    # runs (two fixed shapes per bucket, not one per count)
+                    slabs = []
+                    s = 0
+                    while len(sub) - s >= slab:
+                        slabs.append((s, slab))
+                        s += slab
+                    while s < len(sub):
+                        slabs.append((s, small))
+                        s += small
+                    for s, width in slabs:
+                        sl = sub[s : s + width]
+                        m = len(sl)
+                        idx = np.zeros(width, np.int32)
+                        idx[:m] = todo[sl, 0]
+                        qe = np.zeros((width, TL), np.uint8)
+                        ql = np.zeros(width, np.int32)
+                        qw = np.zeros((width, TL), np.uint8)
+                        qwl = np.zeros(width, np.int32)
+                        qe[:m] = q_enc_m[sl][:, :TL]
+                        ql[:m] = q_len_m[sl]
+                        qw[:m] = q_wo_m[sl][:, :TL]
+                        qwl[:m] = q_wo_len_m[sl]
+                        cand_slab = gather_rows(cand_all, self._put_rep(idx))
+                        out = engine_m.decide_device(
+                            qe, ql, qw, qwl, cand_slab,
+                            np.arange(width, dtype=np.int64), TL, WL,
+                            narrow=narrow, col_lo=col_lo,
+                        )
+                        pend.append((sl, m, pack_model(*out, n=width)))
+            n_disp = sum(m for _, m, _ in pend)
+            if n_disp != len(rows_t):
+                raise AssertionError(
+                    f"stage-3 bucket dispatch covered {n_disp}/{len(rows_t)} rows"
+                )
+            return pend
+
+        def fetch_wave(pend, cnt, pos, mx):
+            """Fetch a wave's packed stats into per-todo-row arrays."""
+            for sl, m, packed in pend:
+                arr = np.asarray(packed)                 # (3, slab) f32
+                cnt[sl] = arr[0][:m].astype(np.int64)
+                pos[sl] = arr[1][:m].astype(np.int64)
+                mx[sl] = arr[2][:m]
+
+        def apply_decisions(rows_t, cnt, pos, mx) -> int:
+            thr = cfg.prediction_probability_threshold
+            hits = 0
+            for j in rows_t[(cnt[rows_t] == 1) & (mx[rows_t] > thr)]:
+                qi = todo[j, 1]
+                p = int(pos[j])
+                res.match_title_id[qi] = int(self.index.title_ids[p])
+                res.prediction[qi] = float(mx[j])
+                res.stage[qi] = STAGE_MODEL
+                res.match_transformed[qi] = self.truth.transformed[p]
+                hits += 1
+            return hits
+
+        # Adaptive candidate depth: wave A scores the top model_depth_initial
+        # jaccard candidates of every row; rows whose wave-A max probability
+        # clears the widen threshold get their REMAINING columns scored in
+        # wave B, and the two waves merge exactly (per-pair predictions are
+        # batching-independent, so max/argmax/tie-count compose) — widened
+        # rows cost exactly the same pairs as a full-depth pass, never more.
+        # Rows below the threshold skip the tail: a model match needs
+        # p > 0.9 >> threshold, and on jaccard-sorted candidates the argmax
+        # sits in the head essentially always (exact-equality parity tests +
+        # the bench oracle anchor gate this).
+        k1 = int(getattr(cfg, "model_depth_initial", 0))
+        adaptive = 0 < k1 < k
+        nt_rows = len(todo)
+        all_rows = np.arange(nt_rows, dtype=np.int64)
+        cnt_a = np.zeros(nt_rows, np.int64)
+        pos_a = np.zeros(nt_rows, np.int64)
+        mx_a = np.full(nt_rows, -np.inf, np.float32)
+        wave_a = dispatch_wave(all_rows, k1 if adaptive else 0)
 
         # ---- fetch barrier 2: model results -------------------------------
-        hits = 0
-        for sl, m, packed in model_pend:
-            arr = np.asarray(packed)                     # (3, slab) f32
-            matched = arr[0][:m] > 0
-            best_pos = arr[1][:m].astype(np.int64)
-            pred = arr[2][:m]
-            for j in np.flatnonzero(matched):
-                qi = todo[sl[j], 1]
-                pos = int(best_pos[j])
-                res.match_title_id[qi] = int(self.index.title_ids[pos])
-                res.prediction[qi] = float(pred[j])
-                res.stage[qi] = STAGE_MODEL
-                res.match_transformed[qi] = self.truth.transformed[pos]
-                hits += 1
+        fetch_wave(wave_a, cnt_a, pos_a, mx_a)
+        if not adaptive:
+            hits = apply_decisions(all_rows, cnt_a, pos_a, mx_a)
+        else:
+            widen_thr = float(getattr(cfg, "model_widen_threshold", 0.3))
+            widen = all_rows[mx_a >= widen_thr]
+            hits = apply_decisions(
+                all_rows[mx_a < widen_thr], cnt_a, pos_a, mx_a
+            )
+            if len(widen):
+                LOGGER.info(
+                    "model wave B: %d/%d rows widened by %d tail candidates",
+                    len(widen), nt_rows, k - k1,
+                )
+                cnt_b = np.zeros(nt_rows, np.int64)
+                pos_b = np.zeros(nt_rows, np.int64)
+                mx_b = np.full(nt_rows, -np.inf, np.float32)
+                wave_b = dispatch_wave(widen, 0, col_lo=k1)
+                # ---- fetch barrier 3: tail stats, exact merge -------------
+                fetch_wave(wave_b, cnt_b, pos_b, mx_b)
+                a_wins = mx_a[widen] >= mx_b[widen]   # ties keep A (first col)
+                tie = mx_a[widen] == mx_b[widen]
+                mx_a[widen] = np.where(a_wins, mx_a[widen], mx_b[widen])
+                pos_a[widen] = np.where(a_wins, pos_a[widen], pos_b[widen])
+                cnt_a[widen] = np.where(
+                    tie, cnt_a[widen] + cnt_b[widen],
+                    np.where(a_wins, cnt_a[widen], cnt_b[widen]),
+                )
+                hits += apply_decisions(widen, cnt_a, pos_a, mx_a)
         res.stage_counts["model"] = hits
         LOGGER.info("Matched %d titles (model stage)", hits)
         res.stage_seconds["model"] = _time.time() - t1

@@ -99,7 +99,11 @@ def main() -> int:
         "train_eval_custom_error": report["eval_custom_error"],
         "train_error_matrix": report["error_matrix"],
         "train_seconds": round(t_train, 1),
+        "train_timings": {k: round(v, 1) for k, v in
+                          report.get("timings", {}).items()},
         "predict_seconds": round(t_predict, 1),
+        "predict_stage_seconds": {k: round(v, 2) for k, v in
+                                  result.stage_seconds.items()},
         "stage_counts": result.stage_counts,
         "checks": checks,
         "ok": ok,
