@@ -178,11 +178,13 @@ def main():
     # trigger a mid-run recompile)
     from doppelspeller_tpu.utils.io import TitleSet as _TS
 
-    # ≥2048 post-exact-match rows so the DEVICE cascade path (fixed-shape
-    # slab programs) compiles in warmup, not in the timed run
-    stride = max(len(queries.titles) // 4096, 1)
+    # enough post-exact rows that EVERY fixed-shape program compiles in
+    # warmup, not in rep0: full-width (model_slab) stage-3 slabs need >=
+    # slab todo rows per hot bucket, and the retrieval union buckets seen
+    # at full scale need to be occupied here too
+    stride = max(len(queries.titles) // 16384, 1)
     by_len = sorted(queries.titles, key=len, reverse=True)[:64]
-    warm = _TS.from_titles(queries.titles[::stride][:4096] + by_len, config=cfg)
+    warm = _TS.from_titles(queries.titles[::stride][:16384] + by_len, config=cfg)
     t0 = time.time()
     matcher.predict(warm)
     # and the short-query LQ bucket (in case the timed run's longest queries
@@ -260,7 +262,8 @@ def main():
         sample = _TSo.from_titles(
             [queries.titles[i] for i in idx], ids=queries.ids[idx], config=cfg
         )
-        cfg_exact = cfg.with_(score_dtype="float32", topk_recall_target=1.0)
+        cfg_exact = cfg.with_(score_dtype="float32", topk_recall_target=1.0,
+                              model_depth_initial=0)
         t0 = time.time()
         m_exact = Matcher(cfg_exact, truth=truth, index=index, model=model,
                           use_index_checkpoint=False)

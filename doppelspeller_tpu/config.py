@@ -130,6 +130,18 @@ class Config:
     # score every candidate, the reference-shaped behavior).
     model_depth_initial: int = 32
     model_widen_threshold: float = 0.3
+    # rows whose wave-A best probability is >= this are decided from the
+    # head alone (no wave B): at 0.999 the head argmax is essentially
+    # always the global argmax on jaccard-sorted candidates, and the tail
+    # could only overturn it with a candidate scoring >= the trusted max
+    # (gated by the example-dataset parity test + bench oracle anchor).
+    # 2.0 disables trusting (every widened row scores its full tail)
+    model_trust_threshold: float = 0.999
+    # rows per rerank scan step (cap; the per-(tl,wl,k) VMEM/HBM budget may
+    # choose less).  Each step costs ~5 ms of fixed launch overhead on a
+    # tunnel-attached chip, so bigger steps amortize; HBM temporaries are
+    # ~25 KB/pair
+    rerank_chunk_cap: int = 512
     # length buckets for DP kernels
     length_buckets: Tuple[int, ...] = (32, 64, 128, 256)
     # mesh axis name used by the sharded index

@@ -96,12 +96,16 @@ def remove_spaces_host(enc: np.ndarray, lengths: np.ndarray):
     """
     B, L = enc.shape
     pos = np.arange(L, dtype=np.int32)[None, :]
-    remove = (enc == SPACE_CODE) | (pos >= lengths[:, None])
-    order = np.argsort(remove, axis=1, kind="stable")
-    out = np.take_along_axis(enc, order, axis=1)
-    len_wo = lengths - ((enc == SPACE_CODE) & (pos < lengths[:, None])).sum(axis=1)
-    out = out * (pos < len_wo[:, None])
-    return out.astype(np.uint8), len_wo.astype(np.int32)
+    keep = (enc != SPACE_CODE) & (pos < lengths[:, None])
+    # O(L) stable compaction: each kept char's target column is the running
+    # count of kept chars before it (a per-row stable argsort is ~50x
+    # slower at the 50k x 256 scale of a full stage-3 batch)
+    tgt = np.cumsum(keep, axis=1, dtype=np.int32) - 1
+    out = np.zeros((B, L), np.uint8)
+    np.put_along_axis(out, np.where(keep, tgt, L - 1), np.where(keep, enc, 0),
+                      axis=1)
+    len_wo = tgt[:, -1] + 1
+    return out, len_wo.astype(np.int32)
 
 
 # ------------------------------------------------------------- device kernel

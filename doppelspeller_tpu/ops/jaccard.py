@@ -308,7 +308,6 @@ class JaccardScorer:
         self.cfg = config or get_config()
         self.index = index
         self.device = device
-        self.packed_d = jax.device_put(index.packed, device)
         self.sums_d = jax.device_put(index.sums, device)
         self.nt_d = jnp.int32(index.num_titles)
         self.score_dtype = getattr(self.cfg, "score_dtype", "float32")
@@ -316,6 +315,18 @@ class JaccardScorer:
         if impl == "auto":
             impl = "pallas" if jax.default_backend() != "cpu" else "xla"
         self.impl = impl
+        nb = index.packed.shape[1]
+        if impl == "pallas" and nb % 4096 == 0:
+            # store the matrix as (V, 32, NB/32): every trigram row becomes
+            # its own contiguous (32, NB/32) tile page, so the per-block row
+            # gather runs as streaming DMAs in the pallas gather kernel —
+            # in the flat 2D i8 layout a logical row is interleaved across
+            # (32, 128) tiles and ANY gather crawls at ~5-7 GB/s
+            self.packed_d = jax.device_put(
+                index.packed.reshape(-1, 32, nb // 32), device
+            )
+        else:
+            self.packed_d = jax.device_put(index.packed, device)
         self._pallas_tb = 2048 if index.padded_titles % 2048 == 0 else self.cfg.title_block
         if impl.startswith("pallas"):
             from doppelspeller_tpu.ops.jaccard_pallas import permute_sums
@@ -429,16 +440,20 @@ class JaccardScorer:
         else:
             rows_all = np.asarray(rows)
         row_of = {int(r): j for j, r in enumerate(rows_all)}
-        for chunk, vals, pos, *_ in pending:
-            vals = np.asarray(vals)          # (G, QB, k) — one fetch per group
-            pos = np.asarray(pos)
+        # ONE batched fetch for all groups: device_get starts every
+        # device→host copy asynchronously before blocking, so the tunnel
+        # round-trips overlap instead of paying ~28-81 ms per group
+        vals_all, pos_all = jax.device_get(
+            ([p[1] for p in pending], [p[2] for p in pending])
+        )
+        for gi, (chunk, *_rest) in enumerate(pending):
             for s, plan in enumerate(chunk):
                 j = np.fromiter(
                     (row_of[int(q)] for q in plan.query_rows), dtype=np.int64,
                     count=plan.n_valid,
                 )
-                out_scores[j] = vals[s, : plan.n_valid]
-                out_pos[j] = pos[s, : plan.n_valid]
+                out_scores[j] = vals_all[gi][s, : plan.n_valid]
+                out_pos[j] = pos_all[gi][s, : plan.n_valid]
         LOGGER.info(
             "topk: %d blocks / %d dispatches | dispatch %.2fs | fetch %.2fs",
             len(plans), len(pending), t_dispatch, _time.time() - t0 - t_dispatch,

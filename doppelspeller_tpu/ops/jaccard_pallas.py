@@ -26,6 +26,72 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _gather_rows_kernel(ids_ref, src_ref, out_ref, sems, *, cuc: int):
+    """Copy ``cuc`` dynamically-indexed rows of ``src_ref`` (HBM-resident)
+    into this grid step's VMEM output block with overlapping async DMAs.
+
+    XLA's row gather on TPU moves ~7 GB/s (measured: 38 ms for 4096 x 64 KB
+    rows — the whole retrieval bottleneck at 500k titles); explicit row DMAs
+    stream at memory speed.  Rows are viewed as (8, NB/8) blocks because
+    Mosaic requires HBM slices to be sublane-aligned (a (1, NB) i8 slice is
+    rejected: 'must be aligned to tiling (8)')."""
+    j = pl.program_id(0)
+    for i in range(cuc):
+        pltpu.make_async_copy(
+            src_ref.at[ids_ref[j * cuc + i]],
+            out_ref.at[i],
+            sems.at[i],
+        ).start()
+    for i in range(cuc):
+        pltpu.make_async_copy(
+            src_ref.at[ids_ref[j * cuc + i]],
+            out_ref.at[i],
+            sems.at[i],
+        ).wait()
+
+
+def gatherable_view(packed: jnp.ndarray) -> jnp.ndarray:
+    """(V, NB) u8 → (V, 32, NB/32): each row becomes its own contiguous,
+    exactly tile-aligned page (i8 native tile is (32, 128)).  In the flat 2D
+    layout a logical row is interleaved with 31 OTHER rows inside every
+    (32, 128) tile, which is why both the XLA gather and naive row DMAs
+    crawl at ~5-7 GB/s."""
+    V, NB = packed.shape
+    return packed.reshape(V, 32, NB // 32)
+
+
+@partial(jax.jit, static_argnames=("cuc", "interpret"))
+def gather_rows_pallas(packed3: jnp.ndarray, ids: jnp.ndarray, *,
+                       cuc: int = 16, interpret: bool = False
+                       ) -> jnp.ndarray:
+    """(V, 32, NB/32) uint8 (see gatherable_view), (U,) int32 →
+    (U, NB) gathered rows at DMA speed.
+
+    Falls back to the XLA gather when the row width cannot form a
+    lane-aligned page (tiny test worlds) or in interpret mode."""
+    U = ids.shape[0]
+    V, _, W = packed3.shape
+    NB = 32 * W
+    if interpret or W % 128 or U % cuc:
+        return packed3[ids].reshape(U, NB)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(U // cuc,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (cuc, 32, W), lambda j, ids: (j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((cuc,))],
+    )
+    out3 = pl.pallas_call(
+        partial(_gather_rows_kernel, cuc=cuc),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((U, 32, W), packed3.dtype),
+    )(ids, packed3)
+    return out3.reshape(U, NB)
+
+
 def permute_sums(sums: np.ndarray, tb: int) -> np.ndarray:
     """Host-side: reorder per-title IDF sums into the kernel's π layout."""
     ntp = sums.shape[0]
@@ -95,7 +161,9 @@ def _score_kernel_v2(
     sums_ref,     # (1, TB) f32 — π-permuted idf sums for this tile
     maxint_ref,   # (QB, 1) f32
     nt_ref,       # (1, 1) i32 in SMEM
-    out_ref,      # (QB, TB) f32 jaccard scores (π-permuted)
+    out_ref,      # (QB, TB) jaccard scores (π-permuted; out dtype = bf16
+                  #   when scoring in bf16 — halves the HBM traffic the
+                  #   top-k selector then has to read back)
     *, score_dtype, uc,
 ):
     """One grid step per title tile; the union axis is an inner fori_loop
@@ -128,7 +196,7 @@ def _score_kernel_v2(
     denom = sums_ref[:] + maxint_ref[:] - acc
     jacc = acc / jnp.maximum(denom, 1e-9)
     tpos = tile * TB + 8 * (col % nb) + col // nb
-    out_ref[:, :] = jnp.where(tpos < nt, jacc, -1.0)
+    out_ref[:, :] = jnp.where(tpos < nt, jacc, -1.0).astype(out_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("k", "tb", "uc", "score_dtype", "interpret",
@@ -155,12 +223,20 @@ def jaccard_topk_pallas_v2(
     uc = min(uc, U)
     if U % uc:
         uc = U
-    rows = packed[union_ids]                              # (U, ntp//8)
+    if packed.ndim == 3:
+        rows = gather_rows_pallas(packed, union_ids, interpret=interpret)
+    else:
+        rows = packed[union_ids]                          # (U, ntp//8)
     ntp = rows.shape[1] * 8
     if ntp % tb:
         raise ValueError(f"padded title count {ntp} not divisible by tile {tb}")
     n_tiles = ntp // tb
 
+    # bf16 scoring also writes bf16 scores: the (QB, ntp) matrix is the
+    # top-k selector's input and the block's dominant HBM traffic; scores
+    # are in [0, 1] and the cascade never consumes their low bits (the
+    # bench oracle anchor gates end-to-end accuracy vs exact f32)
+    out_dtype = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
     jacc = pl.pallas_call(
         partial(_score_kernel_v2, score_dtype=dtype, uc=uc),
         grid=(n_tiles,),
@@ -174,7 +250,7 @@ def jaccard_topk_pallas_v2(
         out_specs=pl.BlockSpec(
             (QB, tb), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((QB, ntp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((QB, ntp), out_dtype),
         interpret=interpret,
     )(
         weights.astype(dtype),
@@ -183,7 +259,8 @@ def jaccard_topk_pallas_v2(
         maxint.reshape(QB, 1),
         nt.reshape(1, 1),
     )
-    return select_topk_permuted(jacc, k, tb, recall_target)
+    vals, pos = select_topk_permuted(jacc, k, tb, recall_target)
+    return vals.astype(jnp.float32), pos
 
 
 def select_topk_permuted(jacc: jnp.ndarray, k: int, tb: int, recall_target: float):

@@ -246,9 +246,14 @@ class RerankEngine:
         R = len(rows)
         k = narrow if narrow else int(cand_d.shape[1]) - col_lo
         # pairs per scan step bounded by the window-DP footprint of the path
-        # _features_kernel will actually take (mirrors features.py pallas gate)
+        # _features_kernel will actually take (mirrors features.py pallas gate).
+        # The cap guards the XLA temporaries (the pallas DP tiles pairs
+        # internally): ~25 KB/pair of one-hot reconstruction state in HBM,
+        # and each scan step carries ~5 ms of fixed launch cost — bigger
+        # slabs amortize it (measured 1.35M → 2M+ pairs/s at cap 128 → 512)
+        cap = int(getattr(cfg, "rerank_chunk_cap", 512))
         if self._window_impl.startswith("pallas") and wl <= 32 and tl % 8 == 0:
-            chunk = int(np.clip((1 << 22) // max(tl * wl * k // 32, 1), 1, 128))
+            chunk = int(np.clip((1 << 22) // max(tl * wl * k // 32, 1), 1, cap))
         else:
             # XLA scan path materializes a (B, 15, tl, wl+1) int32 DP state
             # (double-buffered) — size the chunk for ~0.25 GB

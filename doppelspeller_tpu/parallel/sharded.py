@@ -94,19 +94,6 @@ class ShardedJaccardScorer:
             return out
 
         V = index.packed.shape[0]
-        self.packed_d = jax.make_array_from_single_device_arrays(
-            (V, ntp_pad // 8),
-            NamedSharding(mesh, P(None, self.axis)),
-            _shards(index.packed, ntp_pad // 8, np.uint8, nb_local),
-        )
-        sums = index.sums
-        self.sums_d = jax.make_array_from_single_device_arrays(
-            (ntp_pad,),
-            NamedSharding(mesh, P(self.axis)),
-            _shards(sums, ntp_pad, np.float32, nt_local),
-        )
-        # per-shard pallas scorer state (mirrors JaccardScorer): local tiles
-        # are π-permuted, so sums are permuted per shard chunk
         impl = getattr(self.cfg, "retrieval_impl", "auto")
         if impl == "auto":
             impl = (
@@ -115,6 +102,46 @@ class ShardedJaccardScorer:
                 else "xla"
             )
         self.impl = impl
+        # pallas shards store each trigram row as its own contiguous
+        # (32, nb_local/32) tile page (see jaccard_pallas.gatherable_view):
+        # the per-block union row gather then streams as async DMAs instead
+        # of crawling the interleaved flat-2D i8 tile layout.  The "global"
+        # (V, 32, D*W) array is only ever consumed per-shard under
+        # shard_map, where each shard is exactly its own gatherable view.
+        self.packed_3d = impl.startswith("pallas") and nb_local % 32 == 0
+        if self.packed_3d:
+            shards = []
+            for i, dev in enumerate(np.ravel(mesh.devices)):
+                lo = i * nb_local
+                sl = index.packed[:, lo : lo + nb_local]
+                if sl.shape[1] < nb_local:
+                    sl = np.concatenate(
+                        [sl, np.zeros((V, nb_local - sl.shape[1]), np.uint8)],
+                        axis=1,
+                    )
+                shards.append(jax.device_put(
+                    np.ascontiguousarray(sl).reshape(V, 32, nb_local // 32),
+                    dev,
+                ))
+            self.packed_d = jax.make_array_from_single_device_arrays(
+                (V, 32, n_dev * (nb_local // 32)),
+                NamedSharding(mesh, P(None, None, self.axis)),
+                shards,
+            )
+        else:
+            self.packed_d = jax.make_array_from_single_device_arrays(
+                (V, ntp_pad // 8),
+                NamedSharding(mesh, P(None, self.axis)),
+                _shards(index.packed, ntp_pad // 8, np.uint8, nb_local),
+            )
+        sums = index.sums
+        self.sums_d = jax.make_array_from_single_device_arrays(
+            (ntp_pad,),
+            NamedSharding(mesh, P(self.axis)),
+            _shards(sums, ntp_pad, np.float32, nt_local),
+        )
+        # per-shard pallas scorer state (mirrors JaccardScorer): local tiles
+        # are π-permuted, so sums are permuted per shard chunk
         ntp_local = ntp_pad // n_dev
         self._pallas_tb = 2048 if ntp_local % 2048 == 0 else self.cfg.title_block
         if impl.startswith("pallas"):
@@ -157,11 +184,12 @@ class ShardedJaccardScorer:
             from doppelspeller_tpu.ops.jaccard import densify_weights
 
             idx = jax.lax.axis_index(axis)
-            ntp_local = packed_l.shape[1] * 8
+            ntp_local = (packed_l.shape[1] * packed_l.shape[2]
+                         if packed_l.ndim == 3 else packed_l.shape[1]) * 8
             weights = densify_weights(
                 w_pos, w_val, union_ids.shape[0], jnp.dtype(score_dtype)
             )
-            rows = packed_l[union_ids]
+            rows = packed_l[union_ids].reshape(union_ids.shape[0], -1)
             vals, pos = topk_over_blocks(
                 rows, sums_l, weights, maxint,
                 idx.astype(jnp.int32) * ntp_local, nt,
@@ -184,10 +212,11 @@ class ShardedJaccardScorer:
         axis = self.axis
         # after the all-gather + merge the outputs are replicated, but the
         # checker cannot statically infer that — disable the check
+        packed_spec = P(None, None, axis) if self.packed_3d else P(None, axis)
         fn = shard_map(
             partial(self._sharded, k=k),
             mesh=self.mesh,
-            in_specs=(P(None, axis), P(axis), P(), P(), P(), P(), P()),
+            in_specs=(packed_spec, P(axis), P(), P(), P(), P(), P()),
             out_specs=(P(), P()),
             check_vma=False,
         )
@@ -224,7 +253,9 @@ class ShardedJaccardScorer:
 
             dtype = jnp.dtype(score_dtype)
             idx = jax.lax.axis_index(axis)
-            ntp_local = packed_l.shape[1] * 8
+            nb_l = (packed_l.shape[1] * packed_l.shape[2]
+                    if packed_l.ndim == 3 else packed_l.shape[1])
+            ntp_local = nb_l * 8
             offset = idx.astype(jnp.int32) * ntp_local
             G = buf.shape[0] // (u + qb * lq)
             flat = buf.reshape(G, u + qb * lq)
@@ -255,7 +286,7 @@ class ShardedJaccardScorer:
                     )
                     pos = pos + offset
                 else:
-                    rows = packed_l[union_ids]
+                    rows = packed_l[union_ids].reshape(union_ids.shape[0], -1)
                     vals, pos = topk_over_blocks(
                         rows, sums_l, w, maxint, offset, nt,
                         k=k, title_block=title_block, score_dtype=score_dtype,
@@ -278,10 +309,11 @@ class ShardedJaccardScorer:
             return mv, mp
 
         out_specs = (P(), P(), P()) if probe else (P(), P())
+        packed_spec = P(None, None, axis) if self.packed_3d else P(None, axis)
         jitted = jax.jit(shard_map(
             fn,
             mesh=self.mesh,
-            in_specs=(P(None, axis), P(axis), P(), P(), P(), P(), P(), P()),
+            in_specs=(packed_spec, P(axis), P(), P(), P(), P(), P(), P()),
             out_specs=out_specs,
             check_vma=False,
         ))
@@ -325,7 +357,7 @@ class ShardedJaccardScorer:
         out_scores = np.zeros((len(rows_all), k), np.float32)
         out_pos = np.zeros((len(rows_all), k), np.int32)
         for chunk, vals, pos, *_ in pending:
-            vals = np.asarray(vals)
+            vals = np.asarray(vals)          # replicated on the mesh
             pos = np.asarray(pos)
             for s, plan in enumerate(chunk):
                 j = np.fromiter(

@@ -450,6 +450,8 @@ class Matcher:
           4. rerank decide on still-unmatched rows in fixed-size slabs
           5. fetch packed model results (one per slab)
         """
+        import jax
+
         cfg = self.cfg
         k = cfg.top_n_predicting
         reshape_cand, pack_fuzzy, pack_model, concat_rows, gather_rows = _helpers()
@@ -530,12 +532,17 @@ class Matcher:
             fuzzy_pend.append((rows_g, cand_g, pack_fuzzy(tlw, *out)))
 
         # ---- fetch barrier 1: probe + fuzzy results -----------------------
+        # ONE batched fetch for all groups: device_get starts every
+        # device→host copy asynchronously before blocking, so the ~23 groups
+        # of a 100k run overlap their tunnel round-trips (~28-81 ms each —
+        # serial per-group fetches were costing more than the fuzzy kernels)
         hits = 0
         over_slots = []          # (group_idx, slot) pairs for host redo
         tl_probe = {}
         wl_probe = {}
-        for gi, (rows_g, cand_g, packed) in enumerate(fuzzy_pend):
-            arr = np.asarray(packed)                     # (6, n)
+        fetched1 = jax.device_get([p for _, _, p in fuzzy_pend])
+        for gi, (rows_g, cand_g, _packed) in enumerate(fuzzy_pend):
+            arr = fetched1[gi]                           # (6, n)
             tl_probe[gi] = arr[0]
             wl_probe[gi] = arr[1]
             matched, best_pos, _ratio, over = arr[2] > 0, arr[3], arr[4], arr[5] > 0
@@ -604,21 +611,29 @@ class Matcher:
 
         from doppelspeller_tpu.ops.features import remove_spaces_host
 
+        t_prep0 = _time.time()
         engine_m = self._rerank_engine()
+        t_prep1 = _time.time()
         cand_all = concat_rows(*[reshape_cand(p[2]) for p in pending])
+        t_prep2 = _time.time()
         q_enc_m = queries.encoded[gq]
         q_len_m = queries.lengths[gq].astype(np.int32)
-        q_wo_m, q_wo_len_m = remove_spaces_host(q_enc_m, q_len_m)
+        wo_enc, wo_len = queries.encoded_wo
+        q_wo_m, q_wo_len_m = wo_enc[gq], wo_len[gq]
+        t_prep3 = _time.time()
 
         from collections import Counter as _Counter
 
         LOGGER.info(
-            "model: %d rows, buckets %s", len(todo),
+            "model: %d rows, buckets %s | prep: engine %.2fs, cand concat "
+            "%.2fs, q-slices %.2fs (todo assembly %.2fs)", len(todo),
             dict(_Counter(
                 (int(buckets_arr[min(t, len(buckets_arr) - 1)]),
                  int(w_arr[min(w, len(w_arr) - 1)]))
                 for t, w in zip(tbi, wbi)
             )),
+            t_prep1 - t_prep0, t_prep2 - t_prep1, t_prep3 - t_prep2,
+            t_prep0 - t1,
         )
         small = max(slab // 8, 64)
 
@@ -670,9 +685,11 @@ class Matcher:
             return pend
 
         def fetch_wave(pend, cnt, pos, mx):
-            """Fetch a wave's packed stats into per-todo-row arrays."""
-            for sl, m, packed in pend:
-                arr = np.asarray(packed)                 # (3, slab) f32
+            """Fetch a wave's packed stats into per-todo-row arrays with ONE
+            batched device_get (async copies overlap; a wave has ~25-50
+            slabs and a serial per-slab fetch pays a tunnel RTT each)."""
+            arrs = jax.device_get([p for _, _, p in pend])
+            for arr, (sl, m, _p) in zip(arrs, pend):     # arr: (3, slab) f32
                 cnt[sl] = arr[0][:m].astype(np.int64)
                 pos[sl] = arr[1][:m].astype(np.int64)
                 mx[sl] = arr[2][:m]
@@ -692,14 +709,16 @@ class Matcher:
 
         # Adaptive candidate depth: wave A scores the top model_depth_initial
         # jaccard candidates of every row; rows whose wave-A max probability
-        # clears the widen threshold get their REMAINING columns scored in
-        # wave B, and the two waves merge exactly (per-pair predictions are
-        # batching-independent, so max/argmax/tie-count compose) — widened
-        # rows cost exactly the same pairs as a full-depth pass, never more.
-        # Rows below the threshold skip the tail: a model match needs
-        # p > 0.9 >> threshold, and on jaccard-sorted candidates the argmax
-        # sits in the head essentially always (exact-equality parity tests +
-        # the bench oracle anchor gate this).
+        # lands in the ambiguous band [widen, trust) get their REMAINING
+        # columns scored in wave B, and the two waves merge exactly
+        # (per-pair predictions are batching-independent, so
+        # max/argmax/tie-count compose) — widened rows cost exactly the
+        # same pairs as a full-depth pass, never more.  Rows outside the
+        # band skip the tail: below the widen floor a model match needs
+        # p > threshold >> widen, and at/above the trust ceiling the head
+        # argmax is accepted as global (on jaccard-sorted candidates the
+        # argmax sits in the head essentially always; exact-equality parity
+        # tests + the bench oracle anchor gate both).
         k1 = int(getattr(cfg, "model_depth_initial", 0))
         adaptive = 0 < k1 < k
         nt_rows = len(todo)
@@ -707,18 +726,33 @@ class Matcher:
         cnt_a = np.zeros(nt_rows, np.int64)
         pos_a = np.zeros(nt_rows, np.int64)
         mx_a = np.full(nt_rows, -np.inf, np.float32)
+        t_wa0 = _time.time()
         wave_a = dispatch_wave(all_rows, k1 if adaptive else 0)
+        t_wa1 = _time.time()
 
         # ---- fetch barrier 2: model results -------------------------------
         fetch_wave(wave_a, cnt_a, pos_a, mx_a)
+        LOGGER.info("model wave A: %d slabs dispatched %.2fs, fetched %.2fs",
+                    len(wave_a), t_wa1 - t_wa0, _time.time() - t_wa1)
         if not adaptive:
             hits = apply_decisions(all_rows, cnt_a, pos_a, mx_a)
         else:
             widen_thr = float(getattr(cfg, "model_widen_threshold", 0.3))
-            widen = all_rows[mx_a >= widen_thr]
-            hits = apply_decisions(
-                all_rows[mx_a < widen_thr], cnt_a, pos_a, mx_a
-            )
+            trust_thr = float(getattr(cfg, "model_trust_threshold", 0.999))
+            band = (mx_a >= widen_thr) & (mx_a < trust_thr)
+            widen = all_rows[band]
+            if LOGGER.isEnabledFor(logging.INFO) and nt_rows:
+                qs = np.percentile(mx_a, [10, 25, 50, 75, 90])
+                LOGGER.info(
+                    "model wave A max-prob p10/p25/p50/p75/p90: "
+                    "%.3f/%.3f/%.3f/%.3f/%.3f | %d rows below %.2f, "
+                    "%d trusted at >= %.3f",
+                    *qs, int((mx_a < widen_thr).sum()), widen_thr,
+                    int((mx_a >= trust_thr).sum()), trust_thr,
+                )
+            # below the widen floor: can never clear the match threshold;
+            # at/above the trust ceiling: head argmax accepted as global
+            hits = apply_decisions(all_rows[~band], cnt_a, pos_a, mx_a)
             if len(widen):
                 LOGGER.info(
                     "model wave B: %d/%d rows widened by %d tail candidates",
@@ -727,9 +761,15 @@ class Matcher:
                 cnt_b = np.zeros(nt_rows, np.int64)
                 pos_b = np.zeros(nt_rows, np.int64)
                 mx_b = np.full(nt_rows, -np.inf, np.float32)
+                t_wb0 = _time.time()
                 wave_b = dispatch_wave(widen, 0, col_lo=k1)
+                t_wb1 = _time.time()
                 # ---- fetch barrier 3: tail stats, exact merge -------------
                 fetch_wave(wave_b, cnt_b, pos_b, mx_b)
+                LOGGER.info(
+                    "model wave B: %d slabs dispatched %.2fs, fetched %.2fs",
+                    len(wave_b), t_wb1 - t_wb0, _time.time() - t_wb1,
+                )
                 a_wins = mx_a[widen] >= mx_b[widen]   # ties keep A (first col)
                 tie = mx_a[widen] == mx_b[widen]
                 mx_a[widen] = np.where(a_wins, mx_a[widen], mx_b[widen])

@@ -31,6 +31,7 @@ class TitleSet:
     lengths: np.ndarray               # int32[B] transformed lengths
     labels: Optional[np.ndarray] = None  # int64[B] title_id labels (train only)
     _words: Optional[List[List[str]]] = field(default=None, repr=False)
+    _wo: Optional[tuple] = field(default=None, repr=False)
 
     def __len__(self) -> int:
         return len(self.transformed)
@@ -40,6 +41,21 @@ class TitleSet:
         if self._words is None:
             self._words = [t.split() for t in self.transformed]
         return self._words
+
+    @property
+    def encoded_wo(self) -> tuple:
+        """Spaceless encodings (enc uint8[B, L], len int32[B]), lazily built
+        once per set — equals features.remove_spaces_host(encoded, lengths)
+        but through the string codec (a vectorized numpy compaction of the
+        full (B, 256) window costs ~3 s at 50k rows on a slow host core;
+        this is paid once and reused across predict calls)."""
+        if self._wo is None:
+            L = self.encoded.shape[1]
+            wo = [t[:L].replace(" ", "") for t in self.transformed]
+            enc = T.encode_titles(wo, L)
+            ln = np.array([min(len(t), L) for t in wo], dtype=np.int32)
+            self._wo = (enc, ln)
+        return self._wo
 
     @classmethod
     def from_titles(

@@ -191,3 +191,23 @@ def test_many_words_title():
     np.testing.assert_allclose(got[0], want, rtol=1e-5, atol=1e-5, equal_nan=True)
     assert got[0, 3] == 20.0  # uncapped word count
     assert not np.isnan(got[0, 6 + 14])  # 15th word has features
+
+
+def test_encoded_wo_equals_remove_spaces_host():
+    """TitleSet.encoded_wo (string-codec path, built lazily once) must equal
+    the vectorized window compaction of the encoded matrix — stage 3 relies
+    on them interchangeably."""
+    from doppelspeller_tpu.config import Config
+    from doppelspeller_tpu.ops.features import remove_spaces_host
+    from doppelspeller_tpu.utils.io import TitleSet
+
+    cfg = Config(max_characters=32)  # force truncation on the long title
+    ts = TitleSet.from_titles(
+        ["  Some Big Corp LTD!!", "a b c d", "nospaces",
+         "a really long title with many words that truncates somewhere"],
+        config=cfg,
+    )
+    enc_wo, len_wo = ts.encoded_wo
+    ref_enc, ref_len = remove_spaces_host(ts.encoded, ts.lengths)
+    assert np.array_equal(len_wo, ref_len)
+    assert np.array_equal(enc_wo, ref_enc)

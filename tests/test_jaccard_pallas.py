@@ -152,3 +152,33 @@ def test_scorer_uses_pallas_impl():
     s1, _ = scorer_p.topk(queries, k=10)
     s2, _ = scorer_x.topk(queries, k=10)
     np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-6)
+
+
+def test_gatherable_view_roundtrip_and_fallback():
+    """The 3D tile-page layout (one contiguous (32, NB/32) page per trigram
+    row — the DMA gather kernel's resident format) must reproduce exactly
+    the 2D row gather through every fallback branch of gather_rows_pallas
+    (interpret mode, unaligned W, U not a multiple of the DMA chunk)."""
+    import jax.numpy as jnp
+
+    from doppelspeller_tpu.ops.jaccard_pallas import (
+        gather_rows_pallas,
+        gatherable_view,
+    )
+
+    rng = np.random.RandomState(3)
+    V, NB = 257, 1024                      # W = NB/32 = 32 (not lane-aligned)
+    packed = rng.randint(0, 256, (V, NB), dtype=np.uint8)
+    p3 = gatherable_view(packed)
+    assert p3.shape == (V, 32, NB // 32)
+    # the view is a pure reshape: page i flattens back to row i
+    assert np.array_equal(p3[5].reshape(-1), packed[5])
+
+    for U in (16, 48, 33):                 # aligned, aligned, chunk-ragged
+        ids = rng.randint(0, V, U).astype(np.int32)
+        out = np.asarray(
+            gather_rows_pallas(jnp.asarray(p3), jnp.asarray(ids),
+                               interpret=True)
+        )
+        assert out.shape == (U, NB)
+        assert np.array_equal(out, packed[ids])
