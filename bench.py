@@ -186,7 +186,13 @@ def main():
     by_len = sorted(queries.titles, key=len, reverse=True)[:64]
     warm = _TS.from_titles(queries.titles[::stride][:16384] + by_len, config=cfg)
     t0 = time.time()
+    # widen EVERY stage-3 row during warmup: the full-scale run fills
+    # full-width wave-B slabs in buckets where the (smaller) warmup batch
+    # would only produce small slabs — without this, rep0 pays a ~14 s
+    # mid-run compile for the first full (TL, WL, col_lo) wave-B slab
+    matcher.cfg = cfg.with_(model_widen_threshold=-1.0)
     matcher.predict(warm)
+    matcher.cfg = cfg
     # and the short-query LQ bucket (in case the timed run's longest queries
     # all exact-match out before retrieval)
     warm_short = _TS.from_titles(

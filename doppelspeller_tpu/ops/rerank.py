@@ -200,10 +200,27 @@ class RerankEngine:
         self.t_wchars = put(gather_word_chars(truth_enc, start, wlen, 32))
         self._wlen_max = wlen.max(axis=1)  # host copy for bucketing
         nt = model.best_ntree_limit or model.num_trees
+        # pad the forest to a 64-tree multiple with zero-value single-leaf
+        # trees (root is_leaf, value 0 — margin contribution exactly 0):
+        # every jitted rerank program is otherwise keyed on the exact
+        # trained tree count, so re-training recompiles the whole stage-3
+        # cascade (~2.5 min through the remote-compile tunnel)
+        T_pad = max(((nt + 63) // 64) * 64 - nt, 0)
+
+        def _pad_tree(a, leaf_like: bool):
+            a = a[:nt]
+            if T_pad == 0:
+                return a
+            pad = np.zeros((T_pad,) + a.shape[1:], a.dtype)
+            if leaf_like:
+                pad[:, 0] = 1
+            return np.concatenate([a, pad])
+
         self.m = tuple(
-            put(a[:nt])
-            for a in (model.feat, model.threshold, model.missing_left,
-                      model.value, model.is_leaf)
+            put(_pad_tree(np.asarray(a), leaf_like=(i == 4)))
+            for i, a in enumerate((model.feat, model.threshold,
+                                   model.missing_left, model.value,
+                                   model.is_leaf))
         )
         self.depth = model.depth
         self.base_margin = float(np.log(model.base_score / (1 - model.base_score)))

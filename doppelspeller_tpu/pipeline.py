@@ -740,6 +740,12 @@ class Matcher:
             widen_thr = float(getattr(cfg, "model_widen_threshold", 0.3))
             trust_thr = float(getattr(cfg, "model_trust_threshold", 0.999))
             band = (mx_a >= widen_thr) & (mx_a < trust_thr)
+            # a trusted row whose head max is TIED (cnt > 1) must widen
+            # anyway: accepting the head stats would tie-drop the row, but
+            # the tail could hold a strictly higher unique max (observed
+            # with weak models whose probabilities cluster) — trusting is
+            # only safe for a unique head argmax
+            band |= (mx_a >= trust_thr) & (cnt_a > 1)
             widen = all_rows[band]
             if LOGGER.isEnabledFor(logging.INFO) and nt_rows:
                 qs = np.percentile(mx_a, [10, 25, 50, 75, 90])
