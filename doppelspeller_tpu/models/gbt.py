@@ -21,11 +21,16 @@ Note: the reference also sets scale_pos_weight (train.py:94), but XGBoost
 ignores it when a custom objective is supplied — we replicate that (the knob
 exists but is unused by the custom objective).
 
-Histograms are built with one fused segment-sum per level over
-(node, feature, bin) keys; per-level split finding is a cumulative-sum scan
-over bins vectorized across all (node, feature) pairs — no per-node loops.
-Inference is a level-synchronous tensorized tree walk (gather per level)
-batched over samples and scanned over trees.
+Histograms are built with ONE MXU matmul per level — a multi-hot bins
+matrix (N, F·NB) bf16 against node-masked grad/hess columns — and sample
+routing is one-hot matmul table lookups (random gathers/scatters cost
+~40 ns/element on TPU; the matmul form is ~13× faster end-to-end at
+130k×66).  Per-level split finding is a cumulative-sum scan over bins
+vectorized across all (node, feature) pairs — no per-node loops.  The
+boosting loop routes train AND eval rows through the same tree-growth
+pass and updates margins from the routing's leaf values, so there is no
+per-round inference walk at all.  Standalone inference is a
+level-synchronous tensorized forest walk batched over samples.
 """
 
 from __future__ import annotations
@@ -152,7 +157,8 @@ def bin_features(X: np.ndarray, edges: np.ndarray) -> np.ndarray:
 
 # ------------------------------------------------------------ tree builder
 
-@partial(jax.jit, static_argnames=("depth", "n_features", "axis_name"))
+@partial(jax.jit, static_argnames=("depth", "n_features", "axis_name",
+                                   "return_routing", "hist_impl"))
 def build_tree_kernel(
     bins: jnp.ndarray,   # uint8[N, F]
     g: jnp.ndarray,      # float32[N]
@@ -163,10 +169,27 @@ def build_tree_kernel(
     lambda_: float,
     min_child_weight: float,
     axis_name: Optional[str] = None,
+    return_routing: bool = False,
+    hist_impl: str = "matmul",
 ):
     """Grow one depth-`depth` tree level-wise.  Returns heap arrays of size
     2^(depth+1) − 1: (feat int32, split_bin int32, missing_left bool,
-    value float32, is_leaf bool).
+    value float32, is_leaf bool)[, contrib float32[N] with return_routing].
+
+    TPU-first design: per-level (node, feature, bin) histograms are ONE MXU
+    matmul — a multi-hot bins matrix (N, F·NB) bf16 (exact {0, 1}) against
+    the node-masked grad/hess matrix (N, 2·n_nodes) — and sample routing is
+    one-hot matmul table lookups instead of per-row gathers (random gathers
+    cost ~40 ns/element on TPU; the scatter-based segment-sum histogram this
+    replaces was ~0.5 s/round at 130k×66).  ``hist_impl='scatter'`` keeps
+    the segment-sum path for sample counts whose multi-hot matrix would not
+    fit HBM (> ~6 GB; train_gbt picks automatically).
+
+    With ``return_routing`` the kernel also returns each sample's leaf value
+    (``contrib``, unscaled by eta) accumulated during routing — the boosting
+    loop adds ``eta * contrib`` to its margins and needs no separate
+    tree-walk inference pass.  Rows with g = h = 0 (eval rows, shard
+    padding) are routed but contribute nothing to any histogram.
 
     With ``axis_name`` set (inside shard_map/pmap), histograms are psum-ed
     over the data-parallel axis: every device grows the identical tree from
@@ -175,6 +198,15 @@ def build_tree_kernel(
     N, F = bins.shape
     n_heap = 2 ** (depth + 1) - 1
     bins_i = bins.astype(jnp.int32)
+    bins_f = bins_i.astype(jnp.float32)
+    if hist_impl == "matmul":
+        # multi-hot (N, F·NB): exact {0,1} in bf16; built once per tree,
+        # read once per level by the histogram matmul
+        M = (
+            bins_i[:, :, None] == jnp.arange(NB, dtype=jnp.int32)[None, None, :]
+        ).reshape(N, F * NB).astype(jnp.bfloat16)
+    g_b = g.astype(jnp.bfloat16)
+    h_b = h.astype(jnp.bfloat16)
 
     feat = jnp.full((n_heap,), -1, jnp.int32)
     split_bin = jnp.zeros((n_heap,), jnp.int32)
@@ -184,6 +216,7 @@ def build_tree_kernel(
 
     node = jnp.zeros((N,), jnp.int32)          # heap position per sample
     done = jnp.zeros((N,), jnp.bool_)          # sample sits at a final leaf
+    contrib = jnp.zeros((N,), jnp.float32)     # leaf value reached per sample
 
     f_iota = jnp.arange(F, dtype=jnp.int32)
 
@@ -191,17 +224,37 @@ def build_tree_kernel(
         n_nodes = 2 ** level
         offset = n_nodes - 1
         local = node - offset
-        S = n_nodes * F * NB
+        # one-hot node assignment, masked to active rows (done rows and
+        # rows routed to dead subtrees have no live local id)
+        onl_b = (
+            (local[:, None] == jnp.arange(n_nodes, dtype=jnp.int32)[None, :])
+            & (~done)[:, None]
+        ).astype(jnp.bfloat16)                                   # (N, n)
 
-        key = local[:, None] * (F * NB) + f_iota[None, :] * NB + bins_i
-        key = jnp.where(done[:, None], S, key)
-        flat = key.reshape(-1)
-        G = jax.ops.segment_sum(
-            jnp.broadcast_to(g[:, None], (N, F)).reshape(-1), flat, num_segments=S + 1
-        )[:S].reshape(n_nodes, F, NB)
-        H = jax.ops.segment_sum(
-            jnp.broadcast_to(h[:, None], (N, F)).reshape(-1), flat, num_segments=S + 1
-        )[:S].reshape(n_nodes, F, NB)
+        if hist_impl == "matmul":
+            A = jnp.concatenate(
+                [onl_b * g_b[:, None], onl_b * h_b[:, None]], axis=1
+            )                                                    # (N, 2n)
+            GH = jax.lax.dot_general(
+                M, A,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(F, NB, 2, n_nodes)                         # Σ over N
+            G = jnp.transpose(GH[:, :, 0, :], (2, 0, 1))         # (n, F, NB)
+            H = jnp.transpose(GH[:, :, 1, :], (2, 0, 1))
+        else:
+            S = n_nodes * F * NB
+            key = local[:, None] * (F * NB) + f_iota[None, :] * NB + bins_i
+            key = jnp.where(done[:, None], S, key)
+            flat = key.reshape(-1)
+            G = jax.ops.segment_sum(
+                jnp.broadcast_to(g[:, None], (N, F)).reshape(-1), flat,
+                num_segments=S + 1,
+            )[:S].reshape(n_nodes, F, NB)
+            H = jax.ops.segment_sum(
+                jnp.broadcast_to(h[:, None], (N, F)).reshape(-1), flat,
+                num_segments=S + 1,
+            )[:S].reshape(n_nodes, F, NB)
         if axis_name is not None:
             G = jax.lax.psum(G, axis_name)
             H = jax.lax.psum(H, axis_name)
@@ -250,14 +303,35 @@ def build_tree_kernel(
         value = jax.lax.dynamic_update_slice(value, node_value, (offset,))
         is_leaf = jax.lax.dynamic_update_slice(is_leaf, leaf_now, (offset,))
 
-        # route samples
-        s_leaf = leaf_now[local]
-        s_f = best_f[local]
-        s_k = best_k[local]
-        s_ml = best_ml[local]
-        b = jnp.take_along_axis(bins_i, s_f[:, None], axis=1)[:, 0]
+        # route samples: one-hot matmul table lookups, no per-row gathers.
+        # bf16 {0,1} selectors and integer tables ≤ 255 are exact in bf16;
+        # node_value is selected with a separate HIGHEST-precision f32 dot.
+        route_tbl = jnp.stack(
+            [best_k.astype(jnp.float32), best_ml.astype(jnp.float32),
+             leaf_now.astype(jnp.float32)], axis=1,
+        )                                                        # (n, 3)
+        sel = jax.lax.dot_general(
+            onl_b, route_tbl.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                        # (N, 3)
+        s_k, s_ml, s_leaf = sel[:, 0], sel[:, 1] > 0.5, sel[:, 2] > 0.5
+        fsel = jax.lax.dot_general(
+            onl_b,
+            (jnp.maximum(best_f, 0)[:, None] == f_iota[None, :]).astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                        # (N, F) {0,1}
+        b = (fsel * bins_f).sum(axis=1)                          # exact int
+        s_val = jax.lax.dot_general(
+            onl_b.astype(jnp.float32), node_value[:, None],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )[:, 0]                                                  # (N,)
         go_left = jnp.where(b == MISSING_BIN, s_ml, b <= s_k)
         newly_done = (~done) & s_leaf
+        contrib = contrib + jnp.where(newly_done, s_val, 0.0)
         done = done | s_leaf
         node = jnp.where(done, node, 2 * node + 1 + (1 - go_left.astype(jnp.int32)))
         node = jnp.where(newly_done, offset + local, node)
@@ -265,16 +339,33 @@ def build_tree_kernel(
     # final level: everything still active becomes a leaf
     n_nodes = 2 ** depth
     offset = n_nodes - 1
-    local = jnp.where(done, n_nodes, node - offset)  # dump segment for done
-    Gn = jax.ops.segment_sum(g, local, num_segments=n_nodes + 1)[:n_nodes]
-    Hn = jax.ops.segment_sum(h, local, num_segments=n_nodes + 1)[:n_nodes]
+    local = node - offset
+    onl_b = (
+        (local[:, None] == jnp.arange(n_nodes, dtype=jnp.int32)[None, :])
+        & (~done)[:, None]
+    ).astype(jnp.bfloat16)                                       # (N, n)
+    GHn = jax.lax.dot_general(
+        onl_b, jnp.stack([g_b, h_b], axis=1),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                            # (n, 2)
+    Gn, Hn = GHn[:, 0], GHn[:, 1]
     if axis_name is not None:
         Gn = jax.lax.psum(Gn, axis_name)
         Hn = jax.lax.psum(Hn, axis_name)
-    value = jax.lax.dynamic_update_slice(value, -Gn / (Hn + lambda_), (offset,))
+    leaf_val = -Gn / (Hn + lambda_)
+    contrib = contrib + jax.lax.dot_general(
+        onl_b.astype(jnp.float32), leaf_val[:, None],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )[:, 0]
+    value = jax.lax.dynamic_update_slice(value, leaf_val, (offset,))
     is_leaf = jax.lax.dynamic_update_slice(
         is_leaf, jnp.ones((n_nodes,), jnp.bool_), (offset,)
     )
+    if return_routing:
+        return feat, split_bin, missing_left, value, is_leaf, contrib
     return feat, split_bin, missing_left, value, is_leaf
 
 
@@ -468,65 +559,60 @@ def _predict_raw_kernel(X, feat, thr, missing_left, value, is_leaf, *, depth, ba
 # ------------------------------------------------------------------ training
 
 def _boost_scan_body(
-    bins: jnp.ndarray, y: jnp.ndarray, w: jnp.ndarray,
-    bins_e: jnp.ndarray, y_e: jnp.ndarray, w_e: jnp.ndarray,
-    m0: jnp.ndarray, me0: jnp.ndarray,
+    bins: jnp.ndarray, y: jnp.ndarray, w_hist: jnp.ndarray,
+    w_tr: jnp.ndarray, w_ev: jnp.ndarray, m0: jnp.ndarray,
     *, depth: int, n_rounds: int, eta: float, beta: float, threshold: float,
     lambda_: float, min_child_weight: float, base_margin: float,
-    axis_name: Optional[str] = None,
+    axis_name: Optional[str] = None, hist_impl: str = "matmul",
 ):
     """A segment of the boosting loop as ONE device program: no host
     round-trips per round (the dominant cost through the TPU tunnel).
 
-    ``w``/``w_e`` are {0, 1} sample weights — 0 marks shard-padding rows in
-    the data-parallel path so they contribute nothing to histograms or error
-    metrics.  With ``axis_name`` set (under shard_map) the histograms are
-    psum-ed inside build_tree_kernel and the error sums here, so every device
-    grows the identical tree from its local sample shard.
+    Train and eval rows share one concatenated sample axis; {0, 1} masks
+    pick each population: ``w_hist`` weights the histograms (0 for eval and
+    shard-padding rows), ``w_tr``/``w_ev`` weight the two custom-error sums.
+    Every row is *routed* through the tree it had no part in growing, and
+    its margin is updated from the routing's leaf value (`contrib`) — there
+    is no per-round tree-walk inference pass at all.  With ``axis_name``
+    set (under shard_map) the histograms are psum-ed inside
+    build_tree_kernel and the error sums here, so every device grows the
+    identical tree from its local sample shard.
 
     Returns stacked tree arrays, per-round train/eval custom-error
     histories, and the final margins (to chain segments)."""
     N, F = bins.shape
 
-    def round_step(carry, _):
-        margins, margins_e = carry
+    def round_step(margins, _):
         g, h = margin_grad_hess(margins, y, beta)
-        feat, split_bin, missing_left, value, is_leaf = build_tree_kernel(
-            bins, g * w, h * w, depth=depth, n_features=F,
+        feat, split_bin, missing_left, value, is_leaf, contrib = build_tree_kernel(
+            bins, g * w_hist, h * w_hist, depth=depth, n_features=F,
             lambda_=lambda_, min_child_weight=min_child_weight,
-            axis_name=axis_name,
+            axis_name=axis_name, return_routing=True, hist_impl=hist_impl,
         )
         value = value * eta
-        margins = margins + predict_tree_binned(
-            bins, feat, split_bin, missing_left, value, is_leaf, depth=depth
-        )
-        margins_e = margins_e + predict_tree_binned(
-            bins_e, feat, split_bin, missing_left, value, is_leaf, depth=depth
-        )
+        margins = margins + eta * contrib
 
-        def dev_err(margin, yy, ww):
-            pred = jax.nn.sigmoid(margin)
+        def dev_err(ww):
+            pred = jax.nn.sigmoid(margins)
             pos = pred > threshold
-            fn = jnp.sum(ww * yy * (~pos))
-            fp = jnp.sum(ww * (1.0 - yy) * pos) * beta
+            fn = jnp.sum(ww * y * (~pos))
+            fp = jnp.sum(ww * (1.0 - y) * pos) * beta
             err = fn + fp
             if axis_name is not None:
                 err = jax.lax.psum(err, axis_name)
             return err
 
         out = (feat, split_bin, missing_left, value, is_leaf,
-               dev_err(margins, y, w), dev_err(margins_e, y_e, w_e))
-        return (margins, margins_e), out
+               dev_err(w_tr), dev_err(w_ev))
+        return margins, out
 
-    (margins, margins_e), outs = jax.lax.scan(
-        round_step, (m0, me0), None, length=n_rounds
-    )
-    return outs + (margins, margins_e)
+    margins, outs = jax.lax.scan(round_step, m0, None, length=n_rounds)
+    return outs + (margins,)
 
 
 _boost_scan = partial(jax.jit, static_argnames=(
     "depth", "n_rounds", "eta", "beta", "threshold",
-    "lambda_", "min_child_weight", "base_margin",
+    "lambda_", "min_child_weight", "base_margin", "hist_impl",
 ))(_boost_scan_body)
 
 
@@ -546,9 +632,8 @@ def _boost_scan_sharded(mesh, **static):
     fn = shard_map(
         partial(_boost_scan_body, axis_name=axis, **static),
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-                  P(axis), P(axis)),
-        out_specs=(P(), P(), P(), P(), P(), P(), P(), P(axis), P(axis)),
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P(), P(), P(), P(), P(), P(), P(axis)),
         check_vma=False,
     )
     return jax.jit(fn)
@@ -579,15 +664,21 @@ def train_gbt(
     p = params or GBTParams()
     N, F = X.shape
     edges = compute_bin_edges(X)
-    Xb = bin_features(X, edges)
-    Xe = bin_features(X_eval, edges)
     y_eval_np = y_eval.astype(np.float32)
     Ne = len(X_eval)
+    # ONE concatenated sample axis: train rows then eval rows; masks pick
+    # each population (eval rows ride through tree growth with histogram
+    # weight 0 and get their margins from the same routing pass)
+    Xall = np.concatenate([bin_features(X, edges), bin_features(X_eval, edges)])
+    y_all = np.concatenate([y.astype(np.float32), y_eval_np])
+    w_hist = np.concatenate([np.ones(N, np.float32), np.zeros(Ne, np.float32)])
+    w_ev = np.concatenate([np.zeros(N, np.float32), np.ones(Ne, np.float32)])
 
     scan_chunk = min(50, p.num_boost_round)
     base_margin = _logit(p.base_score)
-    w_np = np.ones(N, np.float32)
-    w_e_np = np.ones(Ne, np.float32)
+    # multi-hot histogram matmul needs the (N, F·NB) bf16 matrix in HBM;
+    # fall back to the segment-sum path if it would not fit
+    hist_impl = "matmul" if len(Xall) * F * NB * 2 <= 6 * 1024**3 else "scatter"
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -599,14 +690,11 @@ def train_gbt(
             pad_shape = (n_to - len(a),) + a.shape[1:]
             return np.concatenate([a, np.full(pad_shape, fill, a.dtype)])
 
-        Np = ((N + n_dev - 1) // n_dev) * n_dev
-        Nep = ((Ne + n_dev - 1) // n_dev) * n_dev
-        Xb = _pad_rows(Xb, Np)
-        Xe = _pad_rows(Xe, Nep)
-        w_np = _pad_rows(w_np, Np)
-        w_e_np = _pad_rows(w_e_np, Nep)
-        y_np = _pad_rows(y.astype(np.float32), Np)
-        y_e_pad = _pad_rows(y_eval_np, Nep)
+        Np = ((len(Xall) + n_dev - 1) // n_dev) * n_dev
+        Xall = _pad_rows(Xall, Np)
+        y_all = _pad_rows(y_all, Np)
+        w_hist = _pad_rows(w_hist, Np)
+        w_ev = _pad_rows(w_ev, Np)
         sh = NamedSharding(mesh, P(mesh.axis_names[0]))
         put = lambda a: jax.device_put(a, sh)  # noqa: E731
         scan_cache = {}
@@ -619,18 +707,14 @@ def train_gbt(
                 )
             return scan_cache[key]
     else:
-        y_np = y.astype(np.float32)
-        y_e_pad = y_eval_np
         put = jnp.asarray
         get_scan = None
-    bins_d = put(Xb)
-    y_d = put(y_np)
-    w_d = put(w_np)
-    bins_e_d = put(Xe)
-    y_e_d = put(y_e_pad)
-    w_e_d = put(w_e_np)
-    m = put(np.full((len(Xb),), base_margin, np.float32))
-    me = put(np.full((len(Xe),), base_margin, np.float32))
+    bins_d = put(Xall)
+    y_d = put(y_all)
+    w_hist_d = put(w_hist)
+    w_tr_d = w_hist_d          # train rows weight both histograms and error
+    w_ev_d = put(w_ev)
+    m = put(np.full((len(Xall),), base_margin, np.float32))
 
     chunks = []
     err_train_l: List[np.ndarray] = []
@@ -642,29 +726,28 @@ def train_gbt(
     # under sustained load (observed); each segment is retryable from the
     # last checkpoint (checkpoint/resume per SURVEY.md §5)
     m_host = np.asarray(m)
-    me_host = np.asarray(me)
     while rounds_done < p.num_boost_round:
         n_rounds = min(scan_chunk, p.num_boost_round - rounds_done)
         static = dict(
             depth=p.depth, n_rounds=n_rounds, eta=p.eta, beta=p.beta,
             threshold=p.threshold, lambda_=p.lambda_,
             min_child_weight=p.min_child_weight, base_margin=base_margin,
+            hist_impl=hist_impl,
         )
         for attempt in range(4):
             try:
                 if mesh is not None:
                     outs = get_scan(**static)(
-                        bins_d, y_d, w_d, bins_e_d, y_e_d, w_e_d, m, me
+                        bins_d, y_d, w_hist_d, w_tr_d, w_ev_d, m
                     )
                 else:
                     outs = _boost_scan(
-                        bins_d, y_d, w_d, bins_e_d, y_e_d, w_e_d, m, me,
-                        **static,
+                        bins_d, y_d, w_hist_d, w_tr_d, w_ev_d, m, **static,
                     )
                 chunk_arrays = tuple(np.asarray(o) for o in outs[:5])
                 e_tr, e_ev = np.asarray(outs[5]), np.asarray(outs[6])
-                m, me = outs[7], outs[8]
-                m_host, me_host = np.asarray(m), np.asarray(me)
+                m = outs[7]
+                m_host = np.asarray(m)
                 break
             except Exception as exc:  # pragma: no cover - runtime fault path
                 if attempt == 3:
@@ -676,14 +759,12 @@ def train_gbt(
                 import time as _time
 
                 _time.sleep(75.0)  # a crashed TPU worker takes ~1-2 min to return
-                bins_d = put(Xb)
-                y_d = put(y_np)
-                w_d = put(w_np)
-                bins_e_d = put(Xe)
-                y_e_d = put(y_e_pad)
-                w_e_d = put(w_e_np)
+                bins_d = put(Xall)
+                y_d = put(y_all)
+                w_hist_d = put(w_hist)
+                w_tr_d = w_hist_d
+                w_ev_d = put(w_ev)
                 m = put(m_host)
-                me = put(me_host)
         chunks.append(chunk_arrays)
         err_train_l.append(e_tr)
         err_eval_l.append(e_ev)
@@ -710,8 +791,8 @@ def train_gbt(
         np.concatenate([c[j] for c in chunks])[:T] for j in range(5)
     )
 
-    pt = 1.0 / (1.0 + np.exp(-np.asarray(m)[:N]))   # trim shard padding
-    pe = 1.0 / (1.0 + np.exp(-np.asarray(me)[:Ne]))
+    pt = 1.0 / (1.0 + np.exp(-m_host[:N]))          # trim shard padding
+    pe = 1.0 / (1.0 + np.exp(-m_host[N : N + Ne]))
     history = {
         "train_error": err_train[:T].tolist(),
         "eval_error": err_eval[:T].tolist(),

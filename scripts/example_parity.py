@@ -65,6 +65,19 @@ def main() -> int:
     cfg = Config(data_path=data_dir)
     set_config(cfg)
 
+    # the first device operation of a process pays the remote TPU session
+    # attach (measured 100-340 s through the axon tunnel, pure environment
+    # cost, unrelated to any compute in this repo) — measure it explicitly
+    # so train_seconds below attributes it instead of absorbing it
+    import numpy as _np
+
+    import jax as _jax
+
+    t0 = time.time()
+    _np.asarray(_jax.device_put(_np.ones(8, _np.float32)))
+    t_attach = time.time() - t0
+    print(f"# device session attach: {t_attach:.1f}s", file=sys.stderr)
+
     t0 = time.time()
     model, report = train_model(config=cfg)
     t_train = time.time() - t0
@@ -98,6 +111,7 @@ def main() -> int:
         "ours": acc,
         "train_eval_custom_error": report["eval_custom_error"],
         "train_error_matrix": report["error_matrix"],
+        "session_attach_seconds": round(t_attach, 1),
         "train_seconds": round(t_train, 1),
         "train_timings": {k: round(v, 1) for k, v in
                           report.get("timings", {}).items()},
