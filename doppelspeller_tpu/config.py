@@ -92,6 +92,10 @@ class Config:
     window_impl: str = "auto"
     # retrieval scoring backend: "auto" → pallas on TPU, xla elsewhere
     retrieval_impl: str = "auto"
+    # index construction: "auto" → on-device build on TPU (ships ~48 MB of
+    # encoded titles instead of the ~3.2 GB packed matrix at 500k titles),
+    # host numpy/C++ elsewhere; "host" / "device" force a path
+    index_build_impl: str = "auto"
     # top-k selection: <1.0 uses TPU-optimized lax.approx_max_k with this
     # per-query recall target (≈7x faster than exact top_k at 500K titles);
     # 1.0 = exact

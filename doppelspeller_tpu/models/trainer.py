@@ -32,7 +32,7 @@ import numpy as np
 from doppelspeller_tpu import constants as c
 from doppelspeller_tpu.config import Config, get_config
 from doppelspeller_tpu.models.gbt import GBTModel, GBTParams, custom_error, train_gbt
-from doppelspeller_tpu.ops.features import construct_features
+from doppelspeller_tpu.ops.features import features_for_pairs
 from doppelspeller_tpu.ops.jaccard import JaccardScorer
 from doppelspeller_tpu.ops.ngram_index import build_truth_index
 from doppelspeller_tpu.utils import text as T
@@ -68,8 +68,9 @@ class WordCounts:
 class TrainingPairs:
     kind: np.ndarray          # uint8[M] TRAINING_KIND_*
     target: np.ndarray        # float32[M]
-    q_titles: List[str]       # transformed query-side titles
-    t_titles: List[str]       # transformed truth-side titles
+    pair_q: np.ndarray        # int32[M] indices into q_titles
+    t_pos: np.ndarray         # int32[M] truth row positions
+    q_titles: List[str]       # UNIQUE transformed query-side titles
 
 
 def assemble_training_pairs(
@@ -82,54 +83,73 @@ def assemble_training_pairs(
     cfg = config or get_config()
     rng = rng or random.Random(cfg.seed)
 
-    id_to_title = {int(i): t for i, t in zip(truth.ids, truth.transformed)}
+    # the truth side of every pair is a truth ROW — candidates come back as
+    # positions, labels map through id→position (1:1, ids are unique), and
+    # generated pairs misspell row p itself.  The feature builder gathers
+    # truth-side tensors on device by position (features_for_pairs), so no
+    # per-pair truth strings are ever materialized.
+    pos_of_id = {int(i): p for p, i in enumerate(truth.ids)}
 
     kinds: List[int] = []
     targets: List[float] = []
+    pair_q: List[int] = []
+    t_pos: List[int] = []
     q_titles: List[str] = []
-    t_titles: List[str] = []
+    q_index: dict = {}
+
+    def q_id(title: str) -> int:
+        j = q_index.get(title)
+        if j is None:
+            j = len(q_titles)
+            q_index[title] = j
+            q_titles.append(title)
+        return j
 
     # --- NEGATIVE + POSITIVE: retrieval candidates for every train row ---
     LOGGER.info("Retrieving top-%d candidates for %d train rows",
                 cfg.top_n_predicting, len(train))
-    _, cand_ids = scorer.topk_title_ids(train, k=cfg.top_n_predicting)
+    _, cand_pos = scorer.topk(train, k=cfg.top_n_predicting)
 
     n_sample = cfg.top_n_training
     for row in range(len(train)):
         label = int(train.labels[row])
-        cands = rng.sample(list(cand_ids[row]), n_sample)
-        title = train.transformed[row]
+        # rng parity note: sample() draws by list position, so sampling
+        # positions yields exactly the candidates the id-based form would
+        cands = rng.sample(list(cand_pos[row]), n_sample)
+        qi = q_id(train.transformed[row])
         if label == cfg.train_not_found_value:
-            for cid in cands:
+            for cp in cands:
                 kinds.append(c.TRAINING_KIND_NEGATIVE)
                 targets.append(0.0)
-                q_titles.append(title)
-                t_titles.append(id_to_title[int(cid)])
+                pair_q.append(qi)
+                t_pos.append(int(cp))
         else:
-            if label not in [int(x) for x in cands]:
+            label_pos = pos_of_id[label]
+            if label_pos not in [int(x) for x in cands]:
                 if len(cands) == n_sample:
                     cands.pop()
-                cands.append(label)
-            for cid in cands:
+                cands.append(label_pos)
+            for cp in cands:
                 kinds.append(c.TRAINING_KIND_POSITIVE)
-                targets.append(1.0 if int(cid) == label else 0.0)
-                q_titles.append(title)
-                t_titles.append(id_to_title[int(cid)])
+                targets.append(1.0 if int(cp) == label_pos else 0.0)
+                pair_q.append(qi)
+                t_pos.append(int(cp))
 
     # --- GENERATED: misspell every truth title longer than 9 chars ---
     LOGGER.info("Generating misspelled training data")
-    for t in truth.transformed:
+    for p, t in enumerate(truth.transformed):
         if len(t) > 9:
             kinds.append(c.TRAINING_KIND_GENERATED)
             targets.append(1.0)
-            q_titles.append(generate_misspelled_name(t, rng))
-            t_titles.append(t)
+            pair_q.append(q_id(generate_misspelled_name(t, rng)))
+            t_pos.append(p)
 
     return TrainingPairs(
         kind=np.asarray(kinds, dtype=np.uint8),
         target=np.asarray(targets, dtype=np.float32),
+        pair_q=np.asarray(pair_q, dtype=np.int32),
+        t_pos=np.asarray(t_pos, dtype=np.int32),
         q_titles=q_titles,
-        t_titles=t_titles,
     )
 
 
@@ -158,17 +178,24 @@ def evaluation_indexes(
 
 
 def build_feature_matrix(
-    pairs: TrainingPairs, word_counts: WordCounts, n_truth: int,
+    pairs: TrainingPairs, word_counts: WordCounts, truth: TitleSet,
     config: Optional[Config] = None,
 ) -> np.ndarray:
+    """Feature matrix via the resident-gather path: the unique query
+    encodings and the truth-side tables go to the device once, then each
+    chunk ships only (q row, truth row) index pairs (features_for_pairs;
+    ~100x the host-shipped construct_features through a TPU tunnel)."""
     cfg = config or get_config()
     q_enc = T.encode_titles(pairs.q_titles, cfg.max_characters)
-    t_enc = T.encode_titles(pairs.t_titles, cfg.max_characters)
     q_len = np.array([min(len(t), cfg.max_characters) for t in pairs.q_titles], np.int32)
-    t_len = np.array([min(len(t), cfg.max_characters) for t in pairs.t_titles], np.int32)
-    counts = word_counts.for_titles(pairs.t_titles)
-    LOGGER.info("Constructing features for %d pairs", len(q_len))
-    return construct_features(q_enc, q_len, t_enc, t_len, counts, n_truth, cfg)
+    counts = word_counts.matrix(truth.transformed)
+    LOGGER.info("Constructing features for %d pairs (%d unique queries)",
+                len(pairs.kind), len(pairs.q_titles))
+    return features_for_pairs(
+        pairs.pair_q, pairs.t_pos, q_enc, q_len,
+        truth.encoded, np.minimum(truth.lengths, cfg.max_characters).astype(np.int32),
+        counts, cfg,
+    )
 
 
 def error_matrix(pred: np.ndarray, target: np.ndarray, threshold: float):
@@ -227,7 +254,7 @@ def train_model(
 
     word_counts = WordCounts(truth)
     t0 = _time.time()
-    X = build_feature_matrix(pairs, word_counts, len(truth), cfg)
+    X = build_feature_matrix(pairs, word_counts, truth, cfg)
     timings["features_seconds"] = _time.time() - t0
     y = pairs.target
 

@@ -294,6 +294,123 @@ def _nanmax(x: jnp.ndarray, axis: int, keepdims: bool) -> jnp.ndarray:
     return jnp.where(all_nan, jnp.float32(jnp.nan), m)
 
 
+# ------------------------------------------------- resident pair features
+
+@partial(jax.jit, static_argnames=("tl", "wl", "window_impl"))
+def _pair_features_kernel(
+    q_enc, q_len, q_wo, q_wo_len,              # (U, L) resident query side
+    t_enc, t_len, t_wchars, t_start, t_wlen, t_nwords, t_counts,  # resident truth
+    pairs,                                      # int32[2, B] (q row, truth row)
+    n_truth,
+    *, tl: int, wl: int, window_impl: str,
+):
+    """66-dim features for B (query row, truth row) index pairs, everything
+    gathered on device from resident tables — the TPU-first training analogue
+    of the fused rerank kernel (per chunk only one (2, B) int32 buffer goes
+    up and one (B, 66) float32 matrix comes down; shipping pre-gathered char
+    tensors from the host costs ~750 B/pair through a ~25 MB/s tunnel)."""
+    from doppelspeller_tpu.ops.rerank import _word_chars
+
+    pair_q = pairs[0]
+    pair_t = pairs[1]
+    chars = _word_chars(t_wchars, t_start, t_wlen, t_enc, pair_t, wl)
+    return _features_kernel(
+        q_enc[pair_q][:, :tl], q_len[pair_q],
+        t_enc[pair_t][:, :tl], jnp.maximum(t_len[pair_t], 1),
+        chars, t_wlen[pair_t], jnp.maximum(t_nwords[pair_t], 1),
+        q_wo[pair_q][:, :tl], jnp.maximum(q_wo_len[pair_q], 1),
+        t_counts[pair_t].astype(jnp.float32), n_truth,
+        window_impl=window_impl,
+    )
+
+
+def features_for_pairs(
+    pair_q: np.ndarray,        # int[M] indices into the unique query rows
+    pair_t: np.ndarray,        # int[M] truth row positions
+    q_enc: np.ndarray,         # uint8[U, L] unique query encodings
+    q_len: np.ndarray,         # int32[U]
+    truth_enc: np.ndarray,     # uint8[T, L]
+    truth_len: np.ndarray,     # int32[T]
+    counts_matrix: np.ndarray, # uint32[T, W] truth-DB word document counts
+    config: Optional[Config] = None,
+) -> np.ndarray:
+    """float32[M, 66] features via the resident-gather path (training-side
+    twin of the rerank engine; reference feature_engineering.py:322-378).
+
+    The query/truth tables go to the device ONCE; per chunk only the pair
+    index buffer is transferred.  ~100x the pair throughput of
+    :func:`construct_features` through a TPU tunnel."""
+    cfg = config or get_config()
+    n = len(pair_q)
+    out = np.zeros((n, FEATURES_COUNT), dtype=np.float32)
+    if n == 0:
+        return out
+    impl = resolve_window_impl(cfg)
+    pair_q = np.asarray(pair_q, dtype=np.int32)
+    pair_t = np.asarray(pair_t, dtype=np.int32)
+
+    q_wo, q_wo_len = remove_spaces_host(q_enc, q_len)
+    start, wlen, nwords = split_words_host(truth_enc, truth_len)
+    wchars = gather_word_chars(truth_enc, start, wlen, 32)
+    wlen_max = wlen.max(axis=1)
+
+    dev = (
+        jnp.asarray(q_enc), jnp.asarray(q_len.astype(np.int32)),
+        jnp.asarray(q_wo), jnp.asarray(q_wo_len),
+        jnp.asarray(truth_enc), jnp.asarray(truth_len.astype(np.int32)),
+        jnp.asarray(wchars), jnp.asarray(start), jnp.asarray(wlen),
+        jnp.asarray(nwords), jnp.asarray(counts_matrix.astype(np.float32)),
+    )
+    n_truth_d = jnp.float32(truth_enc.shape[0])
+
+    L = q_enc.shape[1]
+    pair_len = np.maximum(q_len[pair_q], truth_len[pair_t])
+    buckets = [b for b in cfg.length_buckets if b < L] + [L]
+    w_buckets = [b for b in (8, 16, 32, 64) if b < L] + [L]
+    tb_idx = np.searchsorted(np.asarray(buckets), np.minimum(pair_len, L))
+    wb_idx = np.searchsorted(np.asarray(w_buckets),
+                             np.maximum(wlen_max[pair_t], 1))
+    # a word is a substring of its title, so WL bucket <= TL bucket holds for
+    # the current grids — clamp anyway so a future grid change cannot open a
+    # dispatch hole (ADVICE r2: the stage-3 loop only visits WL <= TL cells)
+    ti_min_for_w = np.searchsorted(np.asarray(buckets), np.asarray(w_buckets))
+    tb_idx = np.maximum(tb_idx, ti_min_for_w[wb_idx])
+
+    n_dispatched = 0
+    pending = []
+    for ti, TL in enumerate(buckets):
+        for wi, WL in enumerate(w_buckets):
+            if WL > TL:
+                continue
+            sel = np.flatnonzero((tb_idx == ti) & (wb_idx == wi))
+            if len(sel) == 0:
+                continue
+            if impl.startswith("pallas") and WL <= 32 and TL % 8 == 0:
+                chunk = int(np.clip((1 << 23) // max(TL * WL // 32, 1),
+                                    1024, 32768))
+            else:
+                chunk = int(np.clip((1 << 28) // (15 * TL * (WL + 1) * 4),
+                                    64, 4096))
+            for s in range(0, len(sel), chunk):
+                idx = sel[s : s + chunk]
+                pad = chunk - len(idx)
+                pq = np.concatenate([pair_q[idx], np.zeros(pad, np.int32)])
+                pt = np.concatenate([pair_t[idx], np.zeros(pad, np.int32)])
+                feats = _pair_features_kernel(
+                    *dev, jnp.asarray(np.stack([pq, pt])), n_truth_d,
+                    tl=TL, wl=WL, window_impl=impl,
+                )
+                pending.append((idx, len(idx), feats))
+                n_dispatched += len(idx)
+    assert n_dispatched == n, f"pair dispatch hole: {n_dispatched} != {n}"
+    # ONE batched fetch: device->host copies overlap instead of paying a
+    # tunnel round-trip per chunk
+    vals = jax.device_get([f for _, _, f in pending])
+    for (idx, m, _), v in zip(pending, vals):
+        out[idx] = v[:m]
+    return out
+
+
 # ---------------------------------------------------------------- host entry
 
 def construct_features(

@@ -1,0 +1,153 @@
+"""On-device construction of the packed trigram index.
+
+The host path (ngram_index.build_truth_index) bit-packs with numpy/C++ and
+then ships the whole matrix to the device — ~3.2 GB at 500k titles, ~130 s
+through a ~25 MB/s TPU tunnel, and ~63 GB of host RAM at the 10M-title
+stretch scale.  The device path ships only the encoded titles (~48 MB at
+500k / ~1 GB at 10M) and builds the bit matrix in HBM directly:
+
+* per title block: trigram ids on device (windowed affine combine of the
+  char codes), per-title dedup via an in-row sort, one 2-D scatter-add into
+  a (V, TB) occupancy byte matrix, then an 8→1 bit-pack reduction into the
+  output columns (dynamic_update_slice into a donated HBM buffer — no
+  3.2 GB copy per block);
+* document frequencies accumulate per block on device (row sums) and the
+  per-title IDF sums run as a second cheap gather pass once the global IDF
+  table exists.
+
+Replaces the capability of reference match_maker.py:74-178 with a
+TPU-first design; produces bit-for-bit the same packed matrix as the host
+builder (tested).
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from doppelspeller_tpu.config import TRIGRAM_VOCAB_SIZE, Config, get_config
+from doppelspeller_tpu.utils import text as T
+from doppelspeller_tpu.utils.io import TitleSet
+
+LOGGER = logging.getLogger(__name__)
+
+V = TRIGRAM_VOCAB_SIZE
+N = T.N_TEXT_CHARS
+
+
+def _device_trigram_ids(enc: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """int32[B, L-2] per-title unique trigram ids, invalid/duplicate → V.
+
+    Device twin of text.trigram_ids_matrix (same sort-dedup semantics)."""
+    B, L = enc.shape
+    text = jnp.asarray(T._FEATURE_TO_TEXT, jnp.int32)[enc]          # (B, L)
+    ids = text[:, :-2] * (N * N) + text[:, 1:-1] * N + text[:, 2:]  # (B, L-2)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, L - 2), 1)
+    valid = pos <= (lengths[:, None] - 3)
+    ids = jnp.where(valid, ids, V)
+    ids = jnp.sort(ids, axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((B, 1), bool), ids[:, 1:] == ids[:, :-1]], axis=1
+    )
+    return jnp.where(dup, V, ids)
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _build_block(packed, df, enc_blk, len_blk, byte0):
+    """Scatter one title block into the donated packed matrix.
+
+    ``packed`` uint8[V, ntp//8] (donated, updated at byte column ``byte0``),
+    ``df`` int32[V] (donated running document frequencies),
+    ``enc_blk`` uint8[TB, L] with TB % 8 == 0."""
+    TB = enc_blk.shape[0]
+    ids = _device_trigram_ids(enc_blk, len_blk)                     # (TB, S)
+    S = ids.shape[1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (TB, S), 0)
+    occ = jnp.zeros((V + 1, TB), jnp.uint8)
+    occ = occ.at[ids.reshape(-1), cols.reshape(-1)].add(
+        jnp.uint8(1), mode="drop", unique_indices=False
+    )
+    occ = occ[:V]
+    df = df + occ.sum(axis=1, dtype=jnp.int32)
+    bits = (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8))         # LE order
+    packed_blk = (occ.reshape(V, TB // 8, 8) * bits[None, None, :]).sum(
+        axis=2, dtype=jnp.uint8
+    )
+    packed = jax.lax.dynamic_update_slice(packed, packed_blk, (0, byte0))
+    return packed, df
+
+
+@jax.jit
+def _sums_block(idf_tbl, enc_blk, len_blk):
+    """float32[TB] per-title IDF sums (unique trigrams, like the host path)."""
+    ids = _device_trigram_ids(enc_blk, len_blk)
+    w = jnp.concatenate([idf_tbl, jnp.zeros(1, jnp.float32)])       # V → 0
+    return w[jnp.minimum(ids, V)].sum(axis=1)
+
+
+def build_truth_index_device(
+    truth: TitleSet, config: Optional[Config] = None, block: int = 32768
+):
+    """Build a TruthIndex whose packed matrix is a DEVICE array.
+
+    Bit-for-bit equal to ngram_index.build_truth_index's packed matrix, but
+    only the encoded titles cross the host→device link.  ``index.packed``
+    is a jax.Array; JaccardScorer detects this and skips its device_put,
+    and TruthIndex.save fetches it once if a checkpoint is requested.
+    """
+    from doppelspeller_tpu.ops.ngram_index import TruthIndex, _round_up, title_content_hash
+
+    cfg = config or get_config()
+    nt = len(truth)
+    ntp = _round_up(max(nt, cfg.title_block), cfg.title_block)
+    import time as _time
+
+    t0 = _time.time()
+    packed = jnp.zeros((V, ntp // 8), jnp.uint8)
+    df_d = jnp.zeros((V,), jnp.int32)
+    L = truth.encoded.shape[1]
+    blocks = []
+    for s in range(0, ntp, block):
+        tb = min(block, ntp - s)
+        tb = _round_up(tb, 8)
+        enc = np.zeros((tb, L), np.uint8)
+        lens = np.zeros((tb,), np.int32)
+        real = min(nt - s, tb) if s < nt else 0
+        if real > 0:
+            enc[:real] = truth.encoded[s : s + real]
+            lens[:real] = truth.lengths[s : s + real]
+        blocks.append((jnp.asarray(enc), jnp.asarray(lens), s))
+    for enc_d, len_d, s in blocks:
+        packed, df_d = _build_block(packed, df_d, enc_d, len_d, jnp.int32(s // 8))
+    df = np.asarray(df_d)
+    idf = T.idf_table_from_df(df, nt)
+    max_idf = float(idf.max()) if nt > 0 else 0.0
+    idf_d = jnp.asarray(idf)
+    sums = np.zeros(ntp, dtype=np.float32)
+    pend = [
+        (s, _sums_block(idf_d, enc_d, len_d)) for enc_d, len_d, s in blocks
+    ]
+    for s, v in zip([p[0] for p in pend], jax.device_get([p[1] for p in pend])):
+        e = min(s + len(v), ntp)
+        sums[s:e] = v[: e - s]
+    sums[nt:] = 0.0
+    LOGGER.info(
+        "[TruthIndex] device build: %d titles (padded %d) in %.1fs",
+        nt, ntp, _time.time() - t0,
+    )
+    return TruthIndex(
+        packed=packed,
+        idf=idf,
+        df=df,
+        sums=sums,
+        title_ids=truth.ids.copy(),
+        num_titles=nt,
+        padded_titles=ntp,
+        max_idf=max_idf,
+        content_hash=title_content_hash(truth.encoded, truth.lengths),
+    )

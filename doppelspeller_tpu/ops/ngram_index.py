@@ -74,10 +74,11 @@ class TruthIndex:
 
     def save(self, path: str) -> None:
         """Checkpoint the built index (new capability — the reference rebuilds
-        its MatchMaker from CSV on every run, SURVEY.md §5)."""
+        its MatchMaker from CSV on every run, SURVEY.md §5).  A device-built
+        packed matrix is fetched once here (the only time it crosses back)."""
         np.savez_compressed(
             path,
-            packed=self.packed,
+            packed=np.asarray(self.packed),
             idf=self.idf,
             df=self.df,
             sums=self.sums,
@@ -105,13 +106,27 @@ class TruthIndex:
 
 
 def build_truth_index(truth: TitleSet, config: Optional[Config] = None) -> TruthIndex:
-    """Build the packed index from a truth TitleSet (host, numpy).
+    """Build the packed index from a truth TitleSet.
 
     Semantics parity: IDF = ln(N/df) with per-title-unique trigram df
     (reference match_maker.py:91-95,135-142); per-title sums as at
     match_maker.py:174.
+
+    With ``cfg.index_build_impl`` "device" (or "auto" on a non-CPU backend)
+    the bit matrix is built in HBM from the uploaded encodings
+    (ops/index_device.py) and ``.packed`` is a device array — bit-for-bit
+    equal to the host build, without the multi-GB host→device transfer.
     """
     cfg = config or get_config()
+    impl = getattr(cfg, "index_build_impl", "host")
+    if impl == "auto":
+        import jax
+
+        impl = "device" if jax.default_backend() != "cpu" else "host"
+    if impl == "device":
+        from doppelspeller_tpu.ops.index_device import build_truth_index_device
+
+        return build_truth_index_device(truth, cfg)
     nt = len(truth)
     ntp = _round_up(max(nt, cfg.title_block), cfg.title_block)
     nbytes = ntp // 8

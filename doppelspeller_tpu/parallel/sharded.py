@@ -18,6 +18,7 @@ TPU-native design per SURVEY.md §2.4:
 from __future__ import annotations
 
 import logging
+from dataclasses import replace
 from functools import partial
 from typing import Optional
 
@@ -62,6 +63,11 @@ class ShardedJaccardScorer:
 
     def __init__(self, index: TruthIndex, mesh: Mesh, config: Optional[Config] = None):
         self.cfg = config or get_config()
+        if not isinstance(index.packed, np.ndarray):
+            # device-built index (index_device.py) lands on one device; the
+            # shard-wise placement below slices on host.  (A per-shard
+            # device build is the 10M-scale path — future work.)
+            index = replace(index, packed=np.asarray(index.packed))
         self.index = index
         self.mesh = mesh
         self.axis = mesh.axis_names[0]

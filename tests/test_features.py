@@ -211,3 +211,40 @@ def test_encoded_wo_equals_remove_spaces_host():
     ref_enc, ref_len = remove_spaces_host(ts.encoded, ts.lengths)
     assert np.array_equal(len_wo, ref_len)
     assert np.array_equal(enc_wo, ref_enc)
+
+
+def test_features_for_pairs_matches_construct_features():
+    """The resident-gather pair path (training hot path) must produce the
+    same 66-dim features as the host-shipped construct_features path for
+    identical (query, truth-row) pairs."""
+    from doppelspeller_tpu.ops.features import features_for_pairs
+
+    rng = random.Random(7)
+    words = ["alpha", "betaworks", "gamma", "deltacorp", "epsilon",
+             "zetaholdings", "eta", "thetaventures"]
+
+    def title(n):
+        return " ".join(rng.choice(words) for _ in range(n))
+
+    truth_titles = [T.transform_title(title(rng.randint(1, 6))) for _ in range(40)]
+    q_titles = [T.transform_title(title(rng.randint(1, 5))) for _ in range(25)]
+    cfg = Config(data_path="/tmp/x", pair_block=64)
+    L = cfg.max_characters
+    t_enc = T.encode_titles(truth_titles, L)
+    t_len = np.array([min(len(t), L) for t in truth_titles], np.int32)
+    q_enc = T.encode_titles(q_titles, L)
+    q_len = np.array([min(len(t), L) for t in q_titles], np.int32)
+    counts = np.zeros((len(truth_titles), 15), np.uint32)
+    for i, t in enumerate(truth_titles):
+        for k, w in enumerate(t.split()[:15]):
+            counts[i, k] = 3 + (hash(w) % 50)
+
+    pair_q = np.array([rng.randrange(len(q_titles)) for _ in range(120)], np.int32)
+    pair_t = np.array([rng.randrange(len(truth_titles)) for _ in range(120)], np.int32)
+
+    got = features_for_pairs(pair_q, pair_t, q_enc, q_len, t_enc, t_len, counts, cfg)
+    want = construct_features(
+        q_enc[pair_q], q_len[pair_q], t_enc[pair_t], t_len[pair_t],
+        counts[pair_t], len(truth_titles), cfg,
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5, equal_nan=True)

@@ -155,3 +155,22 @@ def test_index_save_load_roundtrip(small_world, tmp_path):
     np.testing.assert_array_equal(loaded.title_ids, index.title_ids)
     assert loaded.num_titles == index.num_titles
     assert loaded.max_idf == index.max_idf
+
+
+def test_device_index_build_matches_host(small_world):
+    """On-device index construction (ops/index_device.py) must be
+    bit-for-bit equal to the host builder: packed bytes, df, idf, sums."""
+    import numpy as np
+
+    from doppelspeller_tpu.ops.index_device import build_truth_index_device
+    from doppelspeller_tpu.ops.ngram_index import build_truth_index
+
+    cfg, truth, queries, host, idf_map, max_idf = small_world
+    dev = build_truth_index_device(truth, cfg, block=64)
+    np.testing.assert_array_equal(np.asarray(dev.packed), host.packed)
+    np.testing.assert_array_equal(dev.df, host.df)
+    np.testing.assert_allclose(dev.idf, host.idf, rtol=1e-6)
+    np.testing.assert_allclose(dev.sums, host.sums, rtol=1e-5, atol=1e-5)
+    assert dev.num_titles == host.num_titles
+    assert dev.padded_titles == host.padded_titles
+    assert dev.content_hash == host.content_hash
