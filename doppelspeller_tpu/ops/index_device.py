@@ -57,13 +57,12 @@ def _device_trigram_ids(enc: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(dup, V, ids)
 
 
-@partial(jax.jit, donate_argnums=(0, 1))
-def _build_block(packed, df, enc_blk, len_blk, byte0):
-    """Scatter one title block into the donated packed matrix.
+def _scatter_block(enc_blk, len_blk):
+    """(packed_blk uint8[V, TB//8], df_blk int32[V]) for one title block.
 
-    ``packed`` uint8[V, ntp//8] (donated, updated at byte column ``byte0``),
-    ``df`` int32[V] (donated running document frequencies),
-    ``enc_blk`` uint8[TB, L] with TB % 8 == 0."""
+    One 2-D scatter-add builds the (V, TB) occupancy byte matrix, then an
+    8→1 little-endian bit-pack reduces it to the output byte columns —
+    bit-for-bit the host packer's layout (ngram_index.build_truth_index)."""
     TB = enc_blk.shape[0]
     ids = _device_trigram_ids(enc_blk, len_blk)                     # (TB, S)
     S = ids.shape[1]
@@ -73,13 +72,78 @@ def _build_block(packed, df, enc_blk, len_blk, byte0):
         jnp.uint8(1), mode="drop", unique_indices=False
     )
     occ = occ[:V]
-    df = df + occ.sum(axis=1, dtype=jnp.int32)
+    df_blk = occ.sum(axis=1, dtype=jnp.int32)
     bits = (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8))         # LE order
     packed_blk = (occ.reshape(V, TB // 8, 8) * bits[None, None, :]).sum(
         axis=2, dtype=jnp.uint8
     )
+    return packed_blk, df_blk
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _build_block(packed, df, enc_blk, len_blk, byte0):
+    """Scatter one title block into the donated packed matrix.
+
+    ``packed`` uint8[V, ntp//8] (donated, updated at byte column ``byte0``),
+    ``df`` int32[V] (donated running document frequencies),
+    ``enc_blk`` uint8[TB, L] with TB % 8 == 0."""
+    packed_blk, df_blk = _scatter_block(enc_blk, len_blk)
     packed = jax.lax.dynamic_update_slice(packed, packed_blk, (0, byte0))
-    return packed, df
+    return packed, df + df_blk
+
+
+def shard_build_fn(TB: int, axis: str):
+    """Per-device builder for a mesh-sharded index (parallel/sharded.py).
+
+    Returns ``fn(enc_l, len_l) -> (packed_l uint8[V, nb_l], df int32[V])``
+    to run under ``shard_map`` with in_specs (P(axis, None), P(axis)) and
+    out_specs (P(None, axis), P()): each device scatters only its own
+    title-column shard in HBM from its local slice of the encodings, and
+    document frequencies are psum-ed over ICI.  No full packed matrix ever
+    exists on the host or on any single device — this is the 10M-title
+    scale path (ARCHITECTURE.md memory math)."""
+
+    def fn(enc_l, len_l):
+        ntp_l = enc_l.shape[0]
+        nblk = ntp_l // TB
+
+        def step(i, carry):
+            packed_l, df = carry
+            enc_b = jax.lax.dynamic_slice_in_dim(enc_l, i * TB, TB, 0)
+            len_b = jax.lax.dynamic_slice_in_dim(len_l, i * TB, TB, 0)
+            packed_blk, df_blk = _scatter_block(enc_b, len_b)
+            packed_l = jax.lax.dynamic_update_slice(
+                packed_l, packed_blk, (0, i * (TB // 8))
+            )
+            return packed_l, df + df_blk
+
+        packed_l = jnp.zeros((V, ntp_l // 8), jnp.uint8)
+        df = jnp.zeros((V,), jnp.int32)
+        packed_l, df = jax.lax.fori_loop(0, nblk, step, (packed_l, df))
+        return packed_l, jax.lax.psum(df, axis)
+
+    return fn
+
+
+def shard_sums_fn(tb_perm: int):
+    """Per-device per-title IDF sums for a mesh-sharded index.
+
+    Returns ``fn(idf_tbl, enc_l, len_l) -> (sums_l, sums_perm_l)`` for
+    shard_map with in_specs (P(), P(axis, None), P(axis)) and out_specs
+    (P(axis), P(axis)); ``sums_perm_l`` is reordered into the Pallas
+    kernel's π tile layout (jaccard_pallas.permute_sums) on device."""
+
+    def fn(idf_tbl, enc_l, len_l):
+        ids = _device_trigram_ids(enc_l, len_l)
+        w = jnp.concatenate([idf_tbl, jnp.zeros(1, jnp.float32)])
+        sums_l = w[jnp.minimum(ids, V)].sum(axis=1)
+        nb = tb_perm // 8
+        c = jnp.arange(tb_perm, dtype=jnp.int32)
+        pi = 8 * (c % nb) + c // nb
+        sums_perm_l = sums_l.reshape(-1, tb_perm)[:, pi].reshape(-1)
+        return sums_l, sums_perm_l
+
+    return fn
 
 
 @jax.jit

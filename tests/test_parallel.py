@@ -255,3 +255,59 @@ def test_mesh_full_cascade_matches_single_device(world_small):
     np.testing.assert_array_equal(r1.match_title_id, r2.match_title_id)
     np.testing.assert_array_equal(r1.stage, r2.stage)
     np.testing.assert_allclose(r1.prediction, r2.prediction, rtol=1e-5)
+
+
+def test_mesh_built_index_matches_host(world):
+    """build_sharded_index (per-device on-mesh construction, the 10M-title
+    path) must produce bit-identical packed shards, df/idf/sums, and
+    identical retrieval results to a host-built index placed on the mesh."""
+    from doppelspeller_tpu.parallel.sharded import build_sharded_index
+
+    cfg, truth, queries, index = world
+    mesh = make_mesh(8)
+    built = build_sharded_index(truth, mesh, cfg)
+    placed = ShardedJaccardScorer(index, mesh, cfg)
+
+    np.testing.assert_array_equal(built.index.df, index.df)
+    np.testing.assert_allclose(built.index.idf, index.idf, rtol=1e-6)
+    np.testing.assert_allclose(
+        built.index.sums[: index.num_titles], index.sums[: index.num_titles],
+        rtol=1e-5, atol=1e-5,
+    )
+    assert built.index.content_hash == index.content_hash
+    assert built.index.padded_titles == index.padded_titles
+    # packed shards bit-for-bit (whole padded matrix, fetched shard-wise)
+    np.testing.assert_array_equal(
+        np.asarray(built.packed_d), np.asarray(placed.packed_d)
+    )
+
+    s1, p1 = placed.topk(queries, k=15)
+    s2, p2 = built.topk(queries, k=15)
+    np.testing.assert_allclose(s1, s2, rtol=1e-6, atol=1e-7)
+    ties = s1 != s2
+    np.testing.assert_array_equal(p1[~ties], p2[~ties])
+
+
+def test_mesh_built_index_pallas_interpret(world):
+    """The mesh build must also serve the Pallas retrieval branch (3-D tile
+    pages + π-permuted sums built on device) — run it in interpret mode."""
+    from doppelspeller_tpu.parallel.sharded import build_sharded_index
+
+    cfg, truth, queries, index = world
+    cfg_p = cfg.with_(retrieval_impl="pallas_interpret", topk_recall_target=1.0)
+    mesh = make_mesh(8)
+    built = build_sharded_index(truth, mesh, cfg_p)
+    placed = ShardedJaccardScorer(index, mesh, cfg_p)
+    # the device-computed per-title sums differ from the host's only by
+    # summation order (ulp-level), in the same π-permuted layout
+    np.testing.assert_allclose(
+        np.asarray(built.sums_perm_d), np.asarray(placed.sums_perm_d),
+        rtol=1e-5, atol=1e-5,
+    )
+    s1, p1 = placed.topk(queries, k=7)
+    s2, p2 = built.topk(queries, k=7)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-6)
+    # where the top-1 is strictly separated, the argmax must agree
+    clear = s1[:, 0] > s1[:, 1] + 1e-5
+    assert clear.any()
+    np.testing.assert_array_equal(p1[clear, 0], p2[clear, 0])
