@@ -76,6 +76,14 @@ class TruthIndex:
         """Checkpoint the built index (new capability — the reference rebuilds
         its MatchMaker from CSV on every run, SURVEY.md §5).  A device-built
         packed matrix is fetched once here (the only time it crosses back)."""
+        if self.packed.shape[1] == 0 and self.padded_titles > 0:
+            # mesh-built index (parallel/sharded.build_sharded_index): the
+            # matrix exists only as per-device shards and is not
+            # checkpointable from here — build on one chip to checkpoint
+            raise ValueError(
+                "cannot checkpoint a mesh-built index: the packed matrix "
+                "lives only as device shards (build_truth_index saves)"
+            )
         np.savez_compressed(
             path,
             packed=np.asarray(self.packed),
