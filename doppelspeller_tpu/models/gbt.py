@@ -676,9 +676,17 @@ def train_gbt(
 
     scan_chunk = min(50, p.num_boost_round)
     base_margin = _logit(p.base_score)
-    # multi-hot histogram matmul needs the (N, F·NB) bf16 matrix in HBM;
-    # fall back to the segment-sum path if it would not fit
-    hist_impl = "matmul" if len(Xall) * F * NB * 2 <= 6 * 1024**3 else "scatter"
+    # multi-hot histogram matmul needs the (N, F·NB) bf16 matrix in HBM and
+    # an MXU to be worth it; fall back to the segment-sum path if it would
+    # not fit — or on CPU, where the giant multi-hot matmul is pathological
+    # (no systolic array; XLA:CPU segment-sums are the fast path)
+    _backend = (mesh.devices.flat[0].platform if mesh is not None
+                else jax.default_backend())
+    hist_impl = (
+        "matmul"
+        if _backend != "cpu" and len(Xall) * F * NB * 2 <= 6 * 1024**3
+        else "scatter"
+    )
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -57,6 +57,15 @@ def main() -> int:
                 shutil.copyfileobj(f_in, f_out)
     os.environ["PROJECT_DATA_PATH"] = data_dir
 
+    # PARITY_PLATFORM=cpu forces the CPU backend (the slow CI test uses it
+    # to stay hermetic — the env-var route is stomped by the TPU tunnel's
+    # sitecustomize, only jax.config.update sticks)
+    plat = os.environ.get("PARITY_PLATFORM")
+    if plat:
+        import jax as _jax_cfg
+
+        _jax_cfg.config.update("jax_platforms", plat)
+
     from doppelspeller_tpu.config import Config, set_config
     from doppelspeller_tpu.models.trainer import train_model
     from doppelspeller_tpu.pipeline import Matcher, accuracy_report

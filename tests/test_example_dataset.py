@@ -1,6 +1,8 @@
 """Integration tests on the reference's shipped example dataset (CPU,
 subsetted for speed).  Skipped when the dataset is unavailable."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -89,9 +91,11 @@ def test_full_example_parity(tmp_path):
     import sys
 
     out = tmp_path / "PARITY.json"
+    env = dict(os.environ, PARITY_PLATFORM="cpu")  # hermetic: no TPU attach
     r = subprocess.run(
         [sys.executable, "scripts/example_parity.py", "--out", str(out)],
         cwd="/root/repo", capture_output=True, text=True, timeout=3600,
+        env=env,
     )
     assert r.returncode == 0, r.stdout + r.stderr
     import json
