@@ -92,6 +92,12 @@ class Config:
     window_impl: str = "auto"
     # retrieval scoring backend: "auto" → pallas on TPU, xla elsewhere
     retrieval_impl: str = "auto"
+    # fuse top-k pre-selection into the Pallas score kernel: the (QB, ntp)
+    # score tile never leaves VMEM; per title tile only per-window
+    # (max, argmax) of width tb/16 cross to HBM (~4x less select traffic).
+    # Loses only per-window runner-ups (recall ~0.9985 at k=100/500k,
+    # gated by the bench oracle anchor).
+    retrieval_window_select: bool = False
     # index construction: "auto" → on-device build on TPU (ships ~48 MB of
     # encoded titles instead of the ~3.2 GB packed matrix at 500k titles),
     # host numpy/C++ elsewhere; "host" / "device" force a path

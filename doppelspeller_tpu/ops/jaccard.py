@@ -206,7 +206,8 @@ def _topk_packed_pallas(packed, sums_perm, buf, nt, *, u, qb, lq, k, tb,
 
 @partial(jax.jit, static_argnames=("u", "qb", "lq", "k", "tb", "uc",
                                    "score_dtype", "recall_target", "impl",
-                                   "title_block", "interpret", "probe"))
+                                   "title_block", "interpret", "probe",
+                                   "window_select"))
 def _topk_multiblock(
     packed: jnp.ndarray,      # uint8[V, ntp//8]
     sums: jnp.ndarray,        # float32[ntp] (π-permuted for impl='pallas')
@@ -220,6 +221,7 @@ def _topk_multiblock(
     u: int, qb: int, lq: int, k: int, tb: int, uc: int,
     score_dtype: str, recall_target: float, impl: str,
     title_block: int, interpret: bool = False, probe: bool = False,
+    window_select: bool = False,
 ):
     """Score G query blocks in ONE device program (lax.scan over blocks).
 
@@ -255,6 +257,7 @@ def _topk_multiblock(
                 packed, sums, w, maxint, union_ids, nt,
                 k=k, tb=tb, uc=uc, score_dtype=score_dtype,
                 recall_target=recall_target, interpret=interpret,
+                window_select=window_select,
             )
         else:
             w = densify_weights(wp_c, w_val, u, dtype)
@@ -393,6 +396,8 @@ class JaccardScorer:
                 title_block=self.cfg.title_block,
                 interpret=(self.impl == "pallas_interpret"),
                 probe=probe,
+                window_select=bool(getattr(self.cfg, "retrieval_window_select",
+                                           False)),
             )
             return (chunk,) + tuple(out)
 

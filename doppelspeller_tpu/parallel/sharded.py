@@ -271,6 +271,7 @@ class ShardedJaccardScorer:
         uc = getattr(self.cfg, "pallas_union_chunk", 512)
         recall_target = getattr(self.cfg, "topk_recall_target", 1.0)
         interpret = self.impl == "pallas_interpret"
+        window_select = bool(getattr(self.cfg, "retrieval_window_select", False))
 
         def fn(packed_l, sums_l, idf_tbl, fb_tbl, buf, nt, t_len, t_wlen):
             from doppelspeller_tpu.ops.jaccard import densify_weights
@@ -307,6 +308,7 @@ class ShardedJaccardScorer:
                         packed_l, sums_l, w, maxint, union_ids, nt_local,
                         k=k, tb=tb, uc=uc, score_dtype=score_dtype,
                         recall_target=recall_target, interpret=interpret,
+                        window_select=window_select,
                     )
                     pos = pos + offset
                 else:

@@ -182,3 +182,30 @@ def test_gatherable_view_roundtrip_and_fallback():
         )
         assert out.shape == (U, NB)
         assert np.array_equal(out, packed[ids])
+
+
+def test_window_select_matches_full():
+    """The fused windowed pre-selection (retrieval_window_select) must agree
+    with the full-matrix path: identical top-k SCORES, and identical
+    positions wherever the top-1 is strictly separated (per-window
+    runner-ups are the only legitimate loss, impossible for a strict max)."""
+    rng = random.Random(11)
+    # title_block 2048 → ntp 2048 → pallas tile tb=2048 → W=16 real windows
+    cfg = Config(data_path="/tmp/x", title_block=2048, query_block=8,
+                 score_dtype="float32", retrieval_impl="pallas_interpret",
+                 topk_recall_target=1.0)
+    truth = TitleSet.from_titles(_titles(500, rng), config=cfg)
+    queries = TitleSet.from_titles(
+        _titles(15, rng) + [truth.transformed[7]], config=cfg)
+    index = build_truth_index(truth, cfg)
+    full = JaccardScorer(index, cfg)
+    win = JaccardScorer(index, cfg.with_(retrieval_window_select=True))
+    s1, p1 = full.topk(queries, k=5)
+    s2, p2 = win.topk(queries, k=5)
+    # top-1 must be identical (a strict per-query max survives windowing)
+    np.testing.assert_allclose(s1[:, 0], s2[:, 0], rtol=1e-6, atol=1e-7)
+    clear = s1[:, 0] > s1[:, 1] + 1e-6
+    assert clear.any()
+    np.testing.assert_array_equal(p1[clear, 0], p2[clear, 0])
+    # deeper ranks may drop same-window runner-ups, never gain new scores
+    assert (s2 <= s1 + 1e-6).all()
