@@ -60,23 +60,28 @@ def _device_trigram_ids(enc: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
 def _scatter_block(enc_blk, len_blk):
     """(packed_blk uint8[V, TB//8], df_blk int32[V]) for one title block.
 
-    One 2-D scatter-add builds the (V, TB) occupancy byte matrix, then an
-    8→1 little-endian bit-pack reduces it to the output byte columns —
-    bit-for-bit the host packer's layout (ngram_index.build_truth_index)."""
+    One 2-D scatter-add builds the packed byte matrix DIRECTLY: title t of
+    the block contributes bit value ``1 << (t % 8)`` at byte column
+    ``t // 8`` (little-endian — bit-for-bit the host packer's layout,
+    ngram_index.build_truth_index).  Per-title trigram ids are deduped, so
+    every (trigram, title) bit is added exactly once and byte sums never
+    carry.  An earlier version scattered a (V, TB) occupancy matrix and
+    reduced ``occ.reshape(V, TB//8, 8)`` — on TPU that reshape's minor dim
+    of 8 pads to 128 lanes (16× HBM: 26 GB at TB=32768), a compile-time
+    OOM.  Document frequencies come from an elementwise popcount."""
     TB = enc_blk.shape[0]
     ids = _device_trigram_ids(enc_blk, len_blk)                     # (TB, S)
     S = ids.shape[1]
-    cols = jax.lax.broadcasted_iota(jnp.int32, (TB, S), 0)
-    occ = jnp.zeros((V + 1, TB), jnp.uint8)
-    occ = occ.at[ids.reshape(-1), cols.reshape(-1)].add(
-        jnp.uint8(1), mode="drop", unique_indices=False
+    t = jax.lax.broadcasted_iota(jnp.int32, (TB, S), 0)             # title in block
+    bitval = (jnp.uint8(1) << (t % 8).astype(jnp.uint8))
+    occ = jnp.zeros((V + 1, TB // 8), jnp.uint8)
+    occ = occ.at[ids.reshape(-1), (t // 8).reshape(-1)].add(
+        bitval.reshape(-1), mode="drop", unique_indices=False
     )
-    occ = occ[:V]
-    df_blk = occ.sum(axis=1, dtype=jnp.int32)
-    bits = (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8))         # LE order
-    packed_blk = (occ.reshape(V, TB // 8, 8) * bits[None, None, :]).sum(
-        axis=2, dtype=jnp.uint8
-    )
+    packed_blk = occ[:V]
+    df_blk = jnp.zeros((V,), jnp.int32)
+    for j in range(8):                                              # popcount
+        df_blk = df_blk + ((packed_blk >> j) & 1).sum(axis=1, dtype=jnp.int32)
     return packed_blk, df_blk
 
 
