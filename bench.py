@@ -182,15 +182,18 @@ def main():
     # warmup, not in rep0: full-width (model_slab) stage-3 slabs need >=
     # slab todo rows per hot bucket, and the retrieval union buckets seen
     # at full scale need to be occupied here too
-    stride = max(len(queries.titles) // 16384, 1)
+    stride = max(len(queries.titles) // 24576, 1)
     by_len = sorted(queries.titles, key=len, reverse=True)[:64]
-    warm = _TS.from_titles(queries.titles[::stride][:16384] + by_len, config=cfg)
+    warm = _TS.from_titles(queries.titles[::stride][:24576] + by_len, config=cfg)
     t0 = time.time()
-    # widen EVERY stage-3 row during warmup: the full-scale run fills
-    # full-width wave-B slabs in buckets where the (smaller) warmup batch
-    # would only produce small slabs — without this, rep0 pays a ~14 s
-    # mid-run compile for the first full (TL, WL, col_lo) wave-B slab
-    matcher.cfg = cfg.with_(model_widen_threshold=-1.0)
+    # widen EVERY stage-3 row during warmup AND disable head-trusting: the
+    # full-scale run fills full-width wave-B slabs in buckets where the
+    # (smaller) warmup batch would only produce small slabs — with trusting
+    # on, high-confidence warmup rows skip wave B and a bucket can fall
+    # under one full slab, leaving rep0 a ~12 s mid-run compile for its
+    # first full (TL, WL, col_lo) wave-B slab (seen: TL=32 w=2048 col_lo=32)
+    matcher.cfg = cfg.with_(model_widen_threshold=-1.0,
+                            model_trust_threshold=2.0)
     matcher.predict(warm)
     matcher.cfg = cfg
     # and the short-query LQ bucket (in case the timed run's longest queries
@@ -269,7 +272,8 @@ def main():
             [queries.titles[i] for i in idx], ids=queries.ids[idx], config=cfg
         )
         cfg_exact = cfg.with_(score_dtype="float32", topk_recall_target=1.0,
-                              model_depth_initial=0)
+                              model_depth_initial=0,
+                              retrieval_window_select=False)
         t0 = time.time()
         m_exact = Matcher(cfg_exact, truth=truth, index=index, model=model,
                           use_index_checkpoint=False)

@@ -95,9 +95,12 @@ class Config:
     # fuse top-k pre-selection into the Pallas score kernel: the (QB, ntp)
     # score tile never leaves VMEM; per title tile only per-window
     # (max, argmax) of width tb/16 cross to HBM (~4x less select traffic).
-    # Loses only per-window runner-ups (recall ~0.9985 at k=100/500k,
-    # gated by the bench oracle anchor).
-    retrieval_window_select: bool = False
+    # Loses only per-window runner-ups — measured at 500k titles
+    # (RECALL_AB.json): recall@100 vs exact-f32 0.995 (BETTER than
+    # approx_max_k over the full matrix, 0.972) and the true match of a
+    # misspelled query is retained exactly as often as under exact
+    # scoring; additionally gated by the bench oracle anchor every run.
+    retrieval_window_select: bool = True
     # index construction: "auto" → on-device build on TPU (ships ~48 MB of
     # encoded titles instead of the ~3.2 GB packed matrix at 500k titles),
     # host numpy/C++ elsewhere; "host" / "device" force a path

@@ -667,6 +667,7 @@ class Matcher:
                         slabs.append((s, small))
                         s += small
                     for s, width in slabs:
+                        t_sl = _time.time()
                         sl = sub[s : s + width]
                         m = len(sl)
                         idx = np.zeros(width, np.int32)
@@ -686,6 +687,15 @@ class Matcher:
                             narrow=narrow, col_lo=col_lo,
                         )
                         pend.append((sl, m, pack_model(*out, n=width)))
+                        dt_sl = _time.time() - t_sl
+                        if dt_sl > 0.5:
+                            # dispatch is async — a slow call is a trace +
+                            # (remote) compile; log the cache key parts
+                            LOGGER.info(
+                                "slow slab dispatch %.2fs: TL=%d WL=%d "
+                                "width=%d narrow=%d col_lo=%d",
+                                dt_sl, TL, WL, width, narrow, col_lo,
+                            )
             n_disp = sum(m for _, m, _ in pend)
             if n_disp != len(rows_t):
                 raise AssertionError(

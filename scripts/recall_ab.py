@@ -45,12 +45,16 @@ base = Config(data_path="/tmp/recall_ab")
 truth = TitleSet.from_titles([make_title() for _ in range(n_titles)], config=base)
 # realistic query mix: misspelled truth titles + unseen
 q_titles = []
+q_truth_row = []      # truth row of misspelled queries, -1 for unseen
 for i in range(n_queries):
     if i % 3 == 2:
         q_titles.append(make_title())
+        q_truth_row.append(-1)
     else:
-        q_titles.append(generate_misspelled_name(
-            truth.transformed[rng.randrange(n_titles)], rng))
+        j = rng.randrange(n_titles)
+        q_titles.append(generate_misspelled_name(truth.transformed[j], rng))
+        q_truth_row.append(j)
+q_truth_row = np.asarray(q_truth_row)
 index = build_truth_index(truth, base)
 print(f"# index built ({index.packed.nbytes/1e9:.2f} GB)", file=sys.stderr)
 
@@ -62,6 +66,9 @@ for name, cfg in [
                              retrieval_impl="xla")),
     ("exact_bf16", base.with_(score_dtype="bfloat16", topk_recall_target=1.0)),
     ("approx99_bf16", base.with_(score_dtype="bfloat16", topk_recall_target=0.99)),
+    ("ws_approx99_bf16", base.with_(score_dtype="bfloat16",
+                                    topk_recall_target=0.99,
+                                    retrieval_window_select=True)),
 ]:
     queries = TitleSet.from_titles(q_titles, config=cfg)
     scorer = JaccardScorer(index, cfg)
@@ -80,10 +87,15 @@ for name, p in pos_by_variant.items():
         dtype=np.int64, count=n_queries,
     )
     recall = inter / K
+    known = q_truth_row >= 0
+    retained = (p[known] == q_truth_row[known, None]).any(axis=1)
     results[name].update({
         "recall_at_100_vs_exact_f32_mean": round(float(recall.mean()), 5),
         "recall_at_100_vs_exact_f32_p01": round(float(np.percentile(recall, 1)), 5),
         "top1_agreement": round(float((ref[:, 0] == p[:, 0]).mean()), 5),
+        # the metric the cascade actually depends on: is the TRUE title of a
+        # misspelled query still among its top-100 candidates?
+        "true_match_retained": round(float(retained.mean()), 5),
     })
 
 out = {
