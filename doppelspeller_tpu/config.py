@@ -109,8 +109,11 @@ class Config:
     # per-query recall target (≈7x faster than exact top_k at 500K titles);
     # 1.0 = exact
     topk_recall_target: float = 0.99
-    # queries scored per device step (rows of the MXU matmul)
-    query_block: int = 256
+    # queries scored per device step (rows of the MXU matmul).  128 keeps
+    # full MXU rows while nearly halving the per-block trigram union vs 256
+    # (scoring cost is O(union)): measured 19.4k -> 25.4k q/s retrieval-only
+    # and 4.6 s -> 3.3 s in the full bench at 100k x 500k
+    query_block: int = 128
     # compact per-query trigram-slot width for the sparse weight transfer:
     # runs whose queries all have <= this many unique trigrams ship
     # (query_block x max_query_trigrams) sparse weights; any longer query
@@ -122,10 +125,11 @@ class Config:
     # union is padded to the smallest bucket that holds it (scoring cost is
     # O(union); one compiled program per occupied bucket).  The largest
     # bucket is the planner's hard cap (blocks split above it).
-    union_buckets: Tuple[int, ...] = (2048, 3072, 4096, 6144, 8192)
+    union_buckets: Tuple[int, ...] = (1024, 1536, 2048, 3072, 4096, 6144, 8192)
     # query blocks scored per device dispatch (lax.scan inside one program —
-    # the TPU tunnel costs 10-30 ms RTT per dispatch/fetch)
-    dispatch_blocks: int = 16
+    # the TPU tunnel costs 10-30 ms RTT per dispatch/fetch).  32 at QB=128
+    # keeps 4096 queries per dispatch; 64 measured worse (group padding)
+    dispatch_blocks: int = 32
     # union rows unpacked per inner fori step of the pallas scorer
     pallas_union_chunk: int = 1024
     # batched pair block for levenshtein/feature kernels
