@@ -209,7 +209,7 @@ def main():
     # reps, with every rep (and its stage split) in the JSON for the
     # variance record.  BENCH_TRACE_DIR captures a jax.profiler trace
     # around the first timed rep for attribution.
-    n_reps = int(os.environ.get("BENCH_REPS", "3"))
+    n_reps = int(os.environ.get("BENCH_REPS", "5"))
     trace_dir = os.environ.get("BENCH_TRACE_DIR")
     reps = []
     result = None
