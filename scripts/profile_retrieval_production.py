@@ -64,11 +64,20 @@ t_pack = time.time() - t0
 print(f"D. pack: {t_pack:.2f}s for {len(groups)} groups", flush=True)
 
 # B. production (async dispatch, one sync at the end)
+trace_dir = os.environ.get("PROF_TRACE_DIR")
 for rep in range(2):
+    if rep == 1 and trace_dir:
+        import contextlib
+        import jax
+        ctx = jax.profiler.trace(trace_dir)
+    else:
+        import contextlib
+        ctx = contextlib.nullcontext()
     t0 = time.time()
-    pending, _ = scorer.topk_device(queries, k=100)
-    t_disp = time.time() - t0
-    np.asarray(pending[-1][1])
+    with ctx:
+        pending, _ = scorer.topk_device(queries, k=100)
+        t_disp = time.time() - t0
+        np.asarray(pending[-1][1])
     t_tot = time.time() - t0
     print(f"B. production rep{rep}: dispatch {t_disp:.2f}s, total {t_tot:.2f}s "
           f"-> {n_queries/t_tot:.0f} q/s", flush=True)
