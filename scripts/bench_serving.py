@@ -1,0 +1,94 @@
+"""Serving-latency bench: warm single-query / small-batch match latency.
+
+The headline bench measures bulk throughput; production serving cares about
+the latency of ONE query against the warm 500k-title index (the reference's
+`closest-search-single-title` rebuilds the whole MatchMaker per call,
+reference cli.py:64-83 — here the engine is resident and only the query
+ships).  Reports p50/p95 over `reps` single-title predicts plus small-batch
+latencies, as JSON on stdout.
+
+Usage: python scripts/bench_serving.py [n_titles] [reps]
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+n_titles = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
+reps = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+
+import bench  # noqa: E402
+
+from doppelspeller_tpu.config import set_config  # noqa: E402
+from doppelspeller_tpu.models.gbt import GBTModel  # noqa: E402
+from doppelspeller_tpu.ops.ngram_index import TruthIndex, build_truth_index  # noqa: E402
+from doppelspeller_tpu.pipeline import Matcher  # noqa: E402
+from doppelspeller_tpu.utils.io import TitleSet  # noqa: E402
+
+cache = f"/tmp/bench_world_{n_titles}_100000"
+os.makedirs(cache, exist_ok=True)
+
+t0 = time.time()
+cfg, truth, queries, actual = bench.make_synthetic_world(n_titles, 100_000)
+set_config(cfg)
+print(f"# world: {time.time()-t0:.1f}s", file=sys.stderr)
+
+model_path = os.path.join(cache, "model.npz")
+if os.path.exists(model_path):
+    model = GBTModel.load(model_path)
+else:
+    model = bench.quick_train_model(cfg, truth, 60)
+    model.save(model_path)
+
+index_path = os.path.join(cache, "index.npz")
+if os.path.exists(index_path):
+    index = TruthIndex.load(index_path)
+else:
+    index = build_truth_index(truth, cfg)
+    index.save(index_path)
+
+matcher = Matcher(cfg, truth=truth, index=index, model=model,
+                  use_index_checkpoint=False)
+
+rng = np.random.default_rng(11)
+# misspelled queries that exercise the full cascade (no exact matches)
+pool = [q for q in queries.titles if q not in set(truth.titles)]
+picks = [pool[i] for i in rng.integers(0, len(pool), reps + 8)]
+
+# warm every path: single predicts compile their own (tiny) shapes
+t0 = time.time()
+for q in picks[:8]:
+    matcher.predict(TitleSet.from_titles([q], config=cfg), single=True)
+print(f"# warmup: {time.time()-t0:.1f}s", file=sys.stderr)
+
+lat = []
+for q in picks[8:]:
+    t0 = time.time()
+    r = matcher.predict(TitleSet.from_titles([q], config=cfg), single=True)
+    lat.append(time.time() - t0)
+lat_ms = np.array(lat) * 1e3
+
+batch_lat = {}
+for bs in (8, 64, 512):
+    qs = TitleSet.from_titles(
+        [pool[i] for i in rng.integers(0, len(pool), bs)], config=cfg)
+    matcher.predict(qs)  # warm this batch shape
+    t0 = time.time()
+    matcher.predict(qs)
+    batch_lat[bs] = round((time.time() - t0) * 1e3, 1)
+
+out = {
+    "metric": f"warm single-title match latency vs {n_titles} titles",
+    "unit": "ms",
+    "p50_ms": round(float(np.percentile(lat_ms, 50)), 1),
+    "p95_ms": round(float(np.percentile(lat_ms, 95)), 1),
+    "mean_ms": round(float(lat_ms.mean()), 1),
+    "reps": reps,
+    "batch_ms": batch_lat,
+}
+print(json.dumps(out))
