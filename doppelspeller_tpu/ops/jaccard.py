@@ -318,17 +318,43 @@ class JaccardScorer:
         if impl == "auto":
             impl = "pallas" if jax.default_backend() != "cpu" else "xla"
         self.impl = impl
-        nb = index.packed.shape[1]
-        if impl == "pallas" and nb % 4096 == 0:
+        nb = index.padded_titles // 8
+        if impl == "pallas" and nb and nb % 4096 == 0:
             # store the matrix as (V, 32, NB/32): every trigram row becomes
             # its own contiguous (32, NB/32) tile page, so the per-block row
             # gather runs as streaming DMAs in the pallas gather kernel —
             # in the flat 2D i8 layout a logical row is interleaved across
             # (32, 128) tiles and ANY gather crawls at ~5-7 GB/s
-            self.packed_d = jax.device_put(
-                index.packed.reshape(-1, 32, nb // 32), device
-            )
+            if index.packed_pages is not None:
+                self.packed_d = index.packed_pages       # already relayouted
+            elif isinstance(index.packed, np.ndarray):
+                if index.packed.shape[1] != nb:
+                    raise ValueError(
+                        "index holds no full packed matrix (shard-only "
+                        "sentinel); JaccardScorer needs a full index"
+                    )
+                self.packed_d = jax.device_put(
+                    index.packed.reshape(-1, 32, nb // 32), device
+                )
+            else:
+                # device-built flat matrix: relayout with buffer DONATION so
+                # only the page-layout copy stays resident — keeping both is
+                # 2 x 6.4 GB at 1M titles, which OOMs a 16 GB chip.  The
+                # index keeps the pages (checkpointable) and a (V, 0)
+                # sentinel in .packed.
+                self.packed_d = jax.jit(
+                    lambda x: x.reshape(-1, 32, nb // 32), donate_argnums=0
+                )(index.packed)
+                index.packed_pages = self.packed_d
+                index.packed = np.empty(
+                    (self.packed_d.shape[0], 0), dtype=np.uint8
+                )
         else:
+            if index.packed.shape[1] == 0:
+                raise ValueError(
+                    "index.packed was relayouted to page layout by a pallas "
+                    "scorer; a non-pallas scorer cannot reuse it"
+                )
             self.packed_d = jax.device_put(index.packed, device)
         self._pallas_tb = 2048 if index.padded_titles % 2048 == 0 else self.cfg.title_block
         if impl.startswith("pallas"):

@@ -67,6 +67,11 @@ class TruthIndex:
     padded_titles: int      # ntp (multiple of title_block)
     max_idf: float          # fallback IDF for query trigrams absent in truth
     content_hash: str = ""  # digest of the encoded truth titles
+    packed_pages: object = None  # device uint8[V, 32, ntp/8/32] page layout —
+                            #   set when a JaccardScorer relayouts a
+                            #   device-built flat matrix in place (the flat
+                            #   ``packed`` becomes a (V, 0) sentinel so only
+                            #   ONE multi-GB copy stays resident in HBM)
 
     @property
     def vocab_size(self) -> int:
@@ -76,17 +81,25 @@ class TruthIndex:
         """Checkpoint the built index (new capability — the reference rebuilds
         its MatchMaker from CSV on every run, SURVEY.md §5).  A device-built
         packed matrix is fetched once here (the only time it crosses back)."""
-        if self.packed.shape[1] == 0 and self.padded_titles > 0:
-            # mesh-built index (parallel/sharded.build_sharded_index): the
-            # matrix exists only as per-device shards and is not
-            # checkpointable from here — build on one chip to checkpoint
-            raise ValueError(
-                "cannot checkpoint a mesh-built index: the packed matrix "
-                "lives only as device shards (build_truth_index saves)"
-            )
+        packed = self.packed
+        if packed.shape[1] == 0 and self.padded_titles > 0:
+            if self.packed_pages is not None:
+                # scorer-relayouted device build: reconstruct the flat
+                # matrix host-side from the resident page layout
+                packed = np.asarray(self.packed_pages).reshape(
+                    self.packed_pages.shape[0], -1
+                )
+            else:
+                # mesh-built index (parallel/sharded.build_sharded_index):
+                # the matrix exists only as per-device shards and is not
+                # checkpointable from here — build on one chip to checkpoint
+                raise ValueError(
+                    "cannot checkpoint a mesh-built index: the packed matrix "
+                    "lives only as device shards (build_truth_index saves)"
+                )
         np.savez_compressed(
             path,
-            packed=np.asarray(self.packed),
+            packed=np.asarray(packed),
             idf=self.idf,
             df=self.df,
             sums=self.sums,
