@@ -167,7 +167,7 @@ def main():
     t0 = time.time()
     index = build_truth_index(truth, cfg)
     t_index = time.time() - t0
-    print(f"# index build: {t_index:.1f}s ({index.packed.nbytes/1e9:.2f} GB packed)",
+    print(f"# index build: {t_index:.1f}s ({index.packed_nbytes/1e9:.2f} GB packed)",
           file=sys.stderr)
 
     matcher = Matcher(cfg, truth=truth, index=index, model=model)

@@ -78,7 +78,7 @@ def build_index():
     index = build_truth_index(load_ground_truth(cfg), cfg)
     index.save(cfg.index_path)
     click.echo(f"index saved to {cfg.index_path} "
-               f"({index.num_titles} titles, {index.packed.nbytes / 1e6:.0f} MB packed)")
+               f"({index.num_titles} titles, {index.packed_nbytes / 1e6:.0f} MB packed)")
 
 
 @cli.command()

@@ -97,6 +97,24 @@ def _build_block(packed, df, enc_blk, len_blk, byte0):
     return packed, df + df_blk
 
 
+@partial(jax.jit, donate_argnums=(0, 1))
+def _build_stripe(pages, df, enc_blk, len_blk, stripe):
+    """Scatter one stripe (ntp/32 titles) into the donated PAGE-layout matrix.
+
+    ``pages`` uint8[V, 32, W] is jaccard_pallas.gatherable_view's layout
+    (page[v, s, w] = flat[v, s*W + w]); a stripe covers flat byte columns
+    [s*W, (s+1)*W) = titles [s*8W, (s+1)*8W), so one title block of
+    ntp/32 = 8W titles is exactly one (V, 1, W) insert.  Building pages
+    DIRECTLY avoids ever materializing the flat matrix next to them — the
+    monolithic u8 relayout needs >3 GB of hidden workspace and OOMs a
+    16 GB chip at 1M titles even with donation (measured r3)."""
+    packed_blk, df_blk = _scatter_block(enc_blk, len_blk)           # (V, W)
+    pages = jax.lax.dynamic_update_slice(
+        pages, packed_blk[:, None, :], (0, stripe, 0)
+    )
+    return pages, df + df_blk
+
+
 def shard_build_fn(TB: int, axis: str):
     """Per-device builder for a mesh-sharded index (parallel/sharded.py).
 
@@ -177,7 +195,16 @@ def build_truth_index_device(
     import time as _time
 
     t0 = _time.time()
-    packed = jnp.zeros((V, ntp // 8), jnp.uint8)
+    # page-layout build: when the retrieval engine will be the pallas
+    # kernel (whose DMA gather wants the (V, 32, W) tile-page view), build
+    # that layout DIRECTLY — stripe s of the pages is flat byte columns
+    # [s*W, (s+1)*W), i.e. one block of ntp/32 titles
+    impl = getattr(cfg, "retrieval_impl", "auto")
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() != "cpu" else "xla"
+    pages_mode = impl == "pallas" and (ntp // 8) % 4096 == 0
+    if pages_mode:
+        block = ntp // 32
     df_d = jnp.zeros((V,), jnp.int32)
     L = truth.encoded.shape[1]
     blocks = []
@@ -191,8 +218,18 @@ def build_truth_index_device(
             enc[:real] = truth.encoded[s : s + real]
             lens[:real] = truth.lengths[s : s + real]
         blocks.append((jnp.asarray(enc), jnp.asarray(lens), s))
-    for enc_d, len_d, s in blocks:
-        packed, df_d = _build_block(packed, df_d, enc_d, len_d, jnp.int32(s // 8))
+    if pages_mode:
+        W = ntp // 256
+        pages = jnp.zeros((V, 32, W), jnp.uint8)
+        for i, (enc_d, len_d, s) in enumerate(blocks):
+            pages, df_d = _build_stripe(pages, df_d, enc_d, len_d, jnp.int32(i))
+        packed = None
+    else:
+        packed = jnp.zeros((V, ntp // 8), jnp.uint8)
+        for enc_d, len_d, s in blocks:
+            packed, df_d = _build_block(
+                packed, df_d, enc_d, len_d, jnp.int32(s // 8)
+            )
     df = np.asarray(df_d)
     idf = T.idf_table_from_df(df, nt)
     max_idf = float(idf.max()) if nt > 0 else 0.0
@@ -210,7 +247,7 @@ def build_truth_index_device(
         nt, ntp, _time.time() - t0,
     )
     return TruthIndex(
-        packed=packed,
+        packed=(np.empty((V, 0), np.uint8) if pages_mode else packed),
         idf=idf,
         df=df,
         sums=sums,
@@ -219,4 +256,5 @@ def build_truth_index_device(
         padded_titles=ntp,
         max_idf=max_idf,
         content_hash=title_content_hash(truth.encoded, truth.lengths),
+        packed_pages=(pages if pages_mode else None),
     )

@@ -342,9 +342,11 @@ class JaccardScorer:
                 # 2 x 6.4 GB at 1M titles, which OOMs a 16 GB chip.  The
                 # index keeps the pages (checkpointable) and a (V, 0)
                 # sentinel in .packed.
-                self.packed_d = jax.jit(
-                    lambda x: x.reshape(-1, 32, nb // 32), donate_argnums=0
-                )(index.packed)
+                from doppelspeller_tpu.ops.jaccard_pallas import (
+                    relayout_to_pages,
+                )
+
+                self.packed_d = relayout_to_pages(index.packed)
                 index.packed_pages = self.packed_d
                 index.packed = np.empty(
                     (self.packed_d.shape[0], 0), dtype=np.uint8

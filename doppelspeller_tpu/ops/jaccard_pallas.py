@@ -92,6 +92,28 @@ def gather_rows_pallas(packed3: jnp.ndarray, ids: jnp.ndarray, *,
     return out3.reshape(U, NB)
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def relayout_to_pages(flat: jnp.ndarray) -> jnp.ndarray:
+    """(V, NB) u8 device array → (V, 32, NB/32) page layout, chunked.
+
+    A monolithic ``reshape`` lowers to a u8 retiling with a multi-GB hidden
+    workspace (measured on v5e: with 9.75 GB free, relayouting a 6.4 GB
+    matrix at 1M titles OOMs).  Scanning 32 stripe copies into a
+    preallocated output bounds the transient to one (V, NB/32) slice
+    (~200 MB at 1M titles); peak residency is input + output + one slice."""
+    V, NB = flat.shape
+    W = NB // 32
+
+    def step(out, s):
+        piece = jax.lax.dynamic_slice(flat, (0, s * W), (V, W))
+        out = jax.lax.dynamic_update_slice(out, piece[:, None, :], (0, s, 0))
+        return out, None
+
+    out0 = jnp.zeros((V, 32, W), jnp.uint8)
+    out, _ = jax.lax.scan(step, out0, jnp.arange(32))
+    return out
+
+
 def permute_sums(sums: np.ndarray, tb: int) -> np.ndarray:
     """Host-side: reorder per-title IDF sums into the kernel's π layout."""
     ntp = sums.shape[0]
@@ -438,7 +460,10 @@ def jaccard_topk_pallas(
     uc = min(uc, U)
     if U % uc:
         uc = U  # static fallback: one chunk (U is always qb·32, a power of 2)
-    rows = packed[union_ids]                              # (U, ntp//8)
+    if packed.ndim == 3:  # (V, 32, NB/32) page layout (gatherable_view)
+        rows = gather_rows_pallas(packed, union_ids, interpret=interpret)
+    else:
+        rows = packed[union_ids]                          # (U, ntp//8)
     ntp = rows.shape[1] * 8
     if ntp % tb:
         raise ValueError(f"padded title count {ntp} not divisible by tile {tb}")

@@ -77,6 +77,11 @@ class TruthIndex:
     def vocab_size(self) -> int:
         return self.packed.shape[0]
 
+    @property
+    def packed_nbytes(self) -> int:
+        """Logical size of the bit matrix, whatever its resident layout."""
+        return self.packed.shape[0] * (self.padded_titles // 8)
+
     def save(self, path: str) -> None:
         """Checkpoint the built index (new capability — the reference rebuilds
         its MatchMaker from CSV on every run, SURVEY.md §5).  A device-built

@@ -70,6 +70,13 @@ class ShardedJaccardScorer:
             # no-host-matrix path is build_sharded_index, which constructs
             # per-shard directly on the mesh and passes _device_arrays.)
             index = replace(index, packed=np.asarray(index.packed))
+        elif (_device_arrays is None and index.packed.shape[1] == 0
+              and index.packed_pages is not None):
+            # a single-chip pallas scorer relayouted this index in place
+            # (jaccard.py) — reconstruct the flat matrix from the pages
+            # rather than silently sharding the (V, 0) sentinel
+            index = replace(index, packed=np.asarray(index.packed_pages)
+                            .reshape(index.packed_pages.shape[0], -1))
         self.index = index
         self.mesh = mesh
         self.axis = mesh.axis_names[0]

@@ -39,7 +39,7 @@ t0 = time.time()
 truth = TitleSet.from_titles([make_title() for _ in range(n_titles)], config=base)
 q_titles = [make_title() for _ in range(n_queries)]
 index = build_truth_index(truth, base)
-print(f"setup {time.time()-t0:.1f}s; packed {index.packed.nbytes/1e9:.2f} GB")
+print(f"setup {time.time()-t0:.1f}s; packed {index.packed_nbytes/1e9:.2f} GB")
 
 results = []
 for qb, tb, uc, g in [

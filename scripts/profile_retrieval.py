@@ -53,7 +53,7 @@ print(f"world: {time.time()-t0:.1f}s")
 
 t0 = time.time()
 index = build_truth_index(truth, cfg)
-print(f"index build: {time.time()-t0:.1f}s  packed={index.packed.nbytes/1e9:.2f} GB")
+print(f"index build: {time.time()-t0:.1f}s  packed={index.packed_nbytes/1e9:.2f} GB")
 
 t0 = time.time()
 scorer = JaccardScorer(index, cfg)
@@ -67,9 +67,15 @@ print(f"A. plan: {t_plan:.2f}s for {len(plans)} blocks "
       f"({n_queries/t_plan:.0f} q/s host planning)")
 
 k = cfg.top_n_predicting
-u = plans[0].union_ids.shape[0]
-qb, lq = plans[0].w_pos.shape
+qb = plans[0].w_pos.shape[0]
 tb = scorer._pallas_tb
+
+
+def shp(p):
+    """Per-plan static bucket: (union size, per-query trigram slots) —
+    blocks land in DIFFERENT buckets (the planner pads each block to the
+    smallest fitting bucket), so the kernel shape must come from the plan."""
+    return p.union_ids.shape[0], p.w_pos.shape[1]
 
 def sync(outs):
     """block_until_ready does NOT wait for remote execution on the axon
@@ -81,13 +87,16 @@ def sync(outs):
         np.asarray(outs)
 
 
-# warmup/compile
-buf0 = jnp.asarray(plans[0].packed_args())
-out = _topk_packed_pallas(scorer.packed_d, scorer.sums_perm_d, buf0, scorer.nt_d,
-                          u=u, qb=qb, lq=lq, k=k, tb=tb,
-                          score_dtype=cfg.score_dtype, interpret=False,
-                          recall_target=cfg.topk_recall_target)
-sync(out)
+# warmup/compile (one per distinct bucket among the profiled blocks)
+NPW = min(len(plans), 40)
+for (u, lq) in sorted({shp(p) for p in plans[:NPW]}):
+    p0 = next(p for p in plans[:NPW] if shp(p) == (u, lq))
+    out = _topk_packed_pallas(scorer.packed_d, scorer.sums_perm_d,
+                              jnp.asarray(p0.packed_args()), scorer.nt_d,
+                              u=u, qb=qb, lq=lq, k=k, tb=tb,
+                              score_dtype=cfg.score_dtype, interpret=False,
+                              recall_target=cfg.topk_recall_target)
+    sync(out)
 
 NP = min(len(plans), 40)
 
@@ -95,6 +104,7 @@ NP = min(len(plans), 40)
 t0 = time.time()
 pend = []
 for p in plans[:NP]:
+    u, lq = shp(p)
     buf = jnp.asarray(p.packed_args())
     pend.append(_topk_packed_pallas(scorer.packed_d, scorer.sums_perm_d, buf,
                                     scorer.nt_d, u=u, qb=qb, lq=lq, k=k, tb=tb,
@@ -108,15 +118,16 @@ print(f"B. production: dispatch {t_disp:.2f}s, total {t_total:.2f}s for {NP} blo
       f"-> {NP*qb/t_total:.0f} q/s")
 
 # -------- C: pre-uploaded bufs, kernel-only
-bufs = [jax.device_put(jnp.asarray(p.packed_args())) for p in plans[:NP]]
-sync(bufs)
+bufs = [(jax.device_put(jnp.asarray(p.packed_args())), shp(p))
+        for p in plans[:NP]]
+sync([b for b, _ in bufs])
 t0 = time.time()
 pend = [
     _topk_packed_pallas(scorer.packed_d, scorer.sums_perm_d, b, scorer.nt_d,
                         u=u, qb=qb, lq=lq, k=k, tb=tb,
                         score_dtype=cfg.score_dtype, interpret=False,
                         recall_target=cfg.topk_recall_target)
-    for b in bufs
+    for b, (u, lq) in bufs
 ]
 sync(pend)
 t_kernel = time.time() - t0
@@ -125,33 +136,42 @@ print(f"C. kernel-only: {t_kernel:.2f}s for {NP} blocks -> {NP*qb/t_kernel:.0f} 
       f"{flops/t_kernel/1e12:.1f} TFLOP/s")
 
 # -------- D: exact top-k
-out = _topk_packed_pallas(scorer.packed_d, scorer.sums_perm_d, bufs[0], scorer.nt_d,
-                          u=u, qb=qb, lq=lq, k=k, tb=tb,
-                          score_dtype=cfg.score_dtype, interpret=False,
-                          recall_target=1.0)
-sync(out)
+for (u, lq) in sorted({s for _, s in bufs}):
+    b0 = next(b for b, s in bufs if s == (u, lq))
+    out = _topk_packed_pallas(scorer.packed_d, scorer.sums_perm_d, b0,
+                              scorer.nt_d, u=u, qb=qb, lq=lq, k=k, tb=tb,
+                              score_dtype=cfg.score_dtype, interpret=False,
+                              recall_target=1.0)
+    sync(out)
 t0 = time.time()
 pend = [
     _topk_packed_pallas(scorer.packed_d, scorer.sums_perm_d, b, scorer.nt_d,
                         u=u, qb=qb, lq=lq, k=k, tb=tb,
                         score_dtype=cfg.score_dtype, interpret=False,
                         recall_target=1.0)
-    for b in bufs
+    for b, (u, lq) in bufs
 ]
 sync(pend)
 print(f"D. exact-topk kernel-only: {time.time()-t0:.2f}s for {NP} blocks")
 
 # -------- E: XLA (non-pallas) path for comparison
-out = _topk_packed_xla(scorer.packed_d, scorer.sums_d, bufs[0], scorer.nt_d,
-                       u=u, qb=qb, lq=lq, k=k, title_block=cfg.title_block,
-                       score_dtype=cfg.score_dtype)
-sync(out)
+if scorer.packed_d.ndim == 3:
+    # page-layout matrix (pallas direct build): the XLA path wants the flat
+    # layout and reconstructing it doubles HBM residency at 1M+ titles
+    print("E. xla path: skipped (page-layout index)")
+    sys.exit(0)
+for (u, lq) in sorted({s for _, s in bufs[:10]}):
+    b0 = next(b for b, s in bufs[:10] if s == (u, lq))
+    out = _topk_packed_xla(scorer.packed_d, scorer.sums_d, b0, scorer.nt_d,
+                           u=u, qb=qb, lq=lq, k=k, title_block=cfg.title_block,
+                           score_dtype=cfg.score_dtype)
+    sync(out)
 t0 = time.time()
 pend = [
     _topk_packed_xla(scorer.packed_d, scorer.sums_d, b, scorer.nt_d,
                      u=u, qb=qb, lq=lq, k=k, title_block=cfg.title_block,
                      score_dtype=cfg.score_dtype)
-    for b in bufs[:10]
+    for b, (u, lq) in bufs[:10]
 ]
 sync(pend)
 print(f"E. xla path kernel-only: {time.time()-t0:.2f}s for 10 blocks")

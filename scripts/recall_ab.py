@@ -56,7 +56,7 @@ for i in range(n_queries):
         q_truth_row.append(j)
 q_truth_row = np.asarray(q_truth_row)
 index = build_truth_index(truth, base)
-print(f"# index built ({index.packed.nbytes/1e9:.2f} GB)", file=sys.stderr)
+print(f"# index built ({index.packed_nbytes/1e9:.2f} GB)", file=sys.stderr)
 
 K = 100
 results = {}

@@ -60,6 +60,18 @@ def test_pallas_topk_matches_xla():
             jnp.int32(index.num_titles),
             k=k, tb=tb, score_dtype="float32", interpret=True,
         )
+        # the same entry point must accept the (V, 32, NB/32) page layout
+        # (a pallas-relayouted or page-direct-built index) bit-identically
+        packed3 = jnp.asarray(index.packed.reshape(index.packed.shape[0], 32, -1))
+        v3, p3 = jaccard_topk_pallas(
+            packed3, sums_perm,
+            jnp.asarray(plan.union_ids), jnp.asarray(plan.w_pos),
+            jnp.asarray(plan.w_val), jnp.asarray(plan.max_intersection),
+            jnp.int32(index.num_titles),
+            k=k, tb=tb, score_dtype="float32", interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(v2), np.asarray(v3))
+        np.testing.assert_array_equal(np.asarray(p2), np.asarray(p3))
         n = plan.n_valid
         np.testing.assert_allclose(np.asarray(v1)[:n], np.asarray(v2)[:n],
                                    rtol=1e-5, atol=1e-6)

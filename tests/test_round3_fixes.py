@@ -92,6 +92,8 @@ def test_device_built_index_single_resident_copy(tmp_path):
     from doppelspeller_tpu.ops.ngram_index import TruthIndex, build_truth_index
     from doppelspeller_tpu.utils.io import TitleSet
 
+    from doppelspeller_tpu.ops.jaccard_pallas import relayout_to_pages
+
     cfg = Config(data_path=str(tmp_path), query_block=8,
                  index_build_impl="device", retrieval_impl="pallas",
                  score_dtype="float32")
@@ -100,11 +102,15 @@ def test_device_built_index_single_resident_copy(tmp_path):
     host = build_truth_index(
         truth, cfg.with_(index_build_impl="host", retrieval_impl="xla"))
     dev = build_truth_index(truth, cfg)
-    assert not isinstance(dev.packed, np.ndarray)
-
-    scorer = JaccardScorer(dev, cfg)
+    # pallas-bound device build emits the page layout directly: no flat
+    # matrix ever exists on device
     assert dev.packed_pages is not None
     assert dev.packed.shape == (host.packed.shape[0], 0)
+    np.testing.assert_array_equal(
+        np.asarray(dev.packed_pages).reshape(host.packed.shape), host.packed)
+
+    scorer = JaccardScorer(dev, cfg)
+    assert scorer.packed_d is dev.packed_pages
     assert scorer.packed_d.shape == (
         host.packed.shape[0], 32, host.packed.shape[1] // 32)
     np.testing.assert_array_equal(
@@ -119,3 +125,13 @@ def test_device_built_index_single_resident_copy(tmp_path):
     dev.save(path)
     loaded = TruthIndex.load(path)
     np.testing.assert_array_equal(loaded.packed, host.packed)
+
+    # the chunked-relayout fallback (flat device matrix -> pages) used when
+    # a flat-built index meets a pallas scorer must be bit-exact too
+    import jax.numpy as jnp
+
+    flat = jnp.asarray(host.packed)
+    pages = relayout_to_pages(flat)
+    np.testing.assert_array_equal(
+        np.asarray(pages),
+        host.packed.reshape(host.packed.shape[0], 32, -1))
