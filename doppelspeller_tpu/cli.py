@@ -163,6 +163,94 @@ def closest_search_single_title(title):
 
 
 @cli.command()
+@click.option("--warmup/--no-warmup", default=True, show_default=True,
+              help="Compile the single-title cascade before reading input.")
+def serve(warmup):
+    """Persistent matching service over stdin/stdout (JSON lines).
+
+    The engine — packed index, model trees, every cascade program — is
+    built ONCE and stays warm in HBM; each request ships only the query.
+    (The reference rebuilds its whole MatchMaker per single-title call,
+    reference cli.py:64-83 / predict.py:286-289.)
+
+    One request per input line:
+
+    \b
+      acme holdigns ltd                     bare title
+      {"id": 7, "title": "acme holdigns"}   single title with caller id
+      {"titles": ["a co", "b co"]}          small batch
+
+    One JSON response per line.  Single-title requests return the argmax
+    candidate regardless of threshold (reference single-title semantics,
+    predict.py:316-317); batch requests apply full production semantics
+    (0.9 threshold, −1 not-found).
+    """
+    import json
+    import time as _time
+
+    import numpy as np
+
+    from doppelspeller_tpu.config import get_config
+    from doppelspeller_tpu.pipeline import Matcher
+    from doppelspeller_tpu.utils.io import TitleSet, single_title_set
+
+    cfg = get_config()
+    t0 = _time.time()
+    matcher = Matcher(cfg)
+    if warmup:
+        matcher.predict(single_title_set("wrmup exampl compani", cfg), single=True)
+    print(f"# ready: {matcher.index.num_titles} titles indexed, "
+          f"engine warm in {_time.time() - t0:.1f}s", file=sys.stderr, flush=True)
+
+    def _single(title, req_id=None):
+        t = _time.time()
+        res = matcher.predict(single_title_set(title, cfg), single=True)
+        out = res.single_result()
+        if req_id is not None:
+            out["test_index"] = req_id
+        out["title"] = title
+        out["latency_ms"] = round((_time.time() - t) * 1e3, 2)
+        return out
+
+    def _batch(titles):
+        t = _time.time()
+        qs = TitleSet.from_titles(
+            list(titles), ids=np.arange(len(titles), dtype=np.int64), config=cfg
+        )
+        res = matcher.predict(qs)
+        return {
+            "results": [
+                {
+                    "title": titles[i],
+                    "transformed_title": res.transformed[i],
+                    "match_title_id": int(res.match_title_id[i]),
+                    "match_transformed_title": res.match_transformed[i],
+                    "prediction": float(res.prediction[i]),
+                }
+                for i in range(len(titles))
+            ],
+            "latency_ms": round((_time.time() - t) * 1e3, 2),
+        }
+
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            if line.startswith("{"):
+                req = json.loads(line)
+                if "titles" in req:
+                    out = _batch(req["titles"])
+                else:
+                    out = _single(str(req["title"]), req.get("id"))
+            else:
+                out = _single(line)
+        except Exception as exc:  # serve loop must survive any bad request
+            out = {"error": f"{type(exc).__name__}: {exc}"}
+        print(json.dumps(out), flush=True)
+
+
+@cli.command()
 @time_usage
 def get_predictions_accuracy():
     """Print predictions accuracy vs the actuals file."""

@@ -118,6 +118,39 @@ def test_cli_single_title(cli_env):
     assert "match_title_id" in r.output
 
 
+def test_cli_serve(cli_env):
+    """The serve loop answers bare-title, JSON-single and batch requests,
+    survives malformed input, and keeps one warm engine across requests."""
+    import json
+
+    from doppelspeller_tpu.cli import cli
+
+    cfg = cli_env
+    _make_tiny_dataset(cfg)
+    runner = CliRunner()
+    runner.invoke(cli, ["-v", "train-model"], catch_exceptions=False)
+
+    requests = "\n".join([
+        "alpha holdings 0",
+        json.dumps({"id": 42, "title": "bravo holdngs 1"}),
+        json.dumps({"titles": ["carlo holdings 2", "zzz no such co"]}),
+        "{not json",
+        "",
+    ]) + "\n"
+    r = runner.invoke(cli, ["-v", "serve", "--no-warmup"], input=requests,
+                      catch_exceptions=False)
+    assert r.exit_code == 0, r.output
+    lines = [json.loads(ln) for ln in r.output.splitlines()
+             if ln.startswith("{")]
+    assert len(lines) == 4
+    exact, single, batch, bad = lines
+    assert exact["match_title_id"] == 1 and exact["prediction"] == 1.0
+    assert single["test_index"] == 42 and single["match_title_id"] == 2
+    assert [x["match_title_id"] for x in batch["results"]] == [3, -1]
+    assert batch["results"][0]["prediction"] == 1.0
+    assert "error" in bad
+
+
 def test_cli_stage_example_data(cli_env, tmp_path):
     from doppelspeller_tpu.cli import cli
 
