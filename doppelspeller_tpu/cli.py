@@ -184,6 +184,11 @@ def serve(warmup):
     candidate regardless of threshold (reference single-title semantics,
     predict.py:316-317); batch requests apply full production semantics
     (0.9 threshold, −1 not-found).
+
+    Steady-state latency on the example set (1×v5e): ~170 ms single title,
+    ~370 ms small batch.  The first request whose candidates land in a new
+    (title-length, word-length) bucket compiles that rerank program once
+    (~2.5 s, cached persistently across processes).
     """
     import json
     import time as _time
@@ -199,6 +204,12 @@ def serve(warmup):
     matcher = Matcher(cfg)
     if warmup:
         matcher.predict(single_title_set("wrmup exampl compani", cfg), single=True)
+        # compile the batch-cascade programs too (block-padded static
+        # shapes, so any later batch size reuses them)
+        matcher.predict(TitleSet.from_titles(
+            ["wrmup alpha co", "wrmup bravo ltd", "wrmup carlo inc"],
+            ids=np.arange(3, dtype=np.int64), config=cfg,
+        ))
     print(f"# ready: {matcher.index.num_titles} titles indexed, "
           f"engine warm in {_time.time() - t0:.1f}s", file=sys.stderr, flush=True)
 
