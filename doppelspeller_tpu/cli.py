@@ -165,7 +165,14 @@ def closest_search_single_title(title):
 @cli.command()
 @click.option("--warmup/--no-warmup", default=True, show_default=True,
               help="Compile the single-title cascade before reading input.")
-def serve(warmup):
+@click.option("--devices", default=0, type=int,
+              help="Serve from an N-device mesh: truth index sharded over "
+                   "the title axis (for truth sets beyond one chip's HBM). "
+                   "0 = single device.")
+@click.option("--platform", default=None,
+              help="Device platform for the mesh (e.g. 'cpu' to use virtual "
+                   "CPU devices via --xla_force_host_platform_device_count).")
+def serve(warmup, devices, platform):
     """Persistent matching service over stdin/stdout (JSON lines).
 
     The engine — packed index, model trees, every cascade program — is
@@ -201,7 +208,12 @@ def serve(warmup):
 
     cfg = get_config()
     t0 = _time.time()
-    matcher = Matcher(cfg)
+    mesh = None
+    if devices:
+        from doppelspeller_tpu.parallel.sharded import make_mesh
+
+        mesh = make_mesh(devices, axis=cfg.mesh_axis, platform=platform)
+    matcher = Matcher(cfg, mesh=mesh)
     if warmup:
         matcher.predict(single_title_set("wrmup exampl compani", cfg), single=True)
         # compile the batch-cascade programs too (block-padded static

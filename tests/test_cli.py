@@ -150,6 +150,18 @@ def test_cli_serve(cli_env):
     assert batch["results"][0]["prediction"] == 1.0
     assert "error" in bad
 
+    # mesh serving: same answers from an 8-device sharded engine
+    r = runner.invoke(
+        cli, ["-v", "serve", "--no-warmup", "--devices", "8",
+              "--platform", "cpu"],
+        input=requests, catch_exceptions=False,
+    )
+    assert r.exit_code == 0, r.output
+    mlines = [json.loads(ln) for ln in r.output.splitlines()
+              if ln.startswith("{")]
+    assert [m.get("match_title_id") for m in mlines[:2]] == [1, 2]
+    assert [x["match_title_id"] for x in mlines[2]["results"]] == [3, -1]
+
 
 def test_cli_stage_example_data(cli_env, tmp_path):
     from doppelspeller_tpu.cli import cli
