@@ -3,11 +3,16 @@
 
 PYTHON ?= python
 
-.PHONY: test lint stage-example-data build-index train-model \
+.PHONY: test test-all lint stage-example-data build-index train-model \
         generate-predictions closest-search get-predictions-accuracy bench
 
+# fast loop: skips the `heavy`-marked compile-bound integration tests
+# (~270 s of a ~370 s suite).  `make test-all` runs everything incl. `slow`.
 test:
-	$(PYTHON) -m pytest tests/ -q
+	$(PYTHON) -m pytest tests/ -q -m 'not slow and not heavy'
+
+test-all:
+	$(PYTHON) -m pytest tests/ -q -m ''
 
 lint:
 	$(PYTHON) scripts/lint.py

@@ -251,8 +251,10 @@ def main():
     # re-matched with the EXACT configuration (float32 scoring, exact top-k)
     # and the fast path must be within BENCH_ORACLE_DELTA of it — so
     # bfloat16 scoring / approx top-k can never silently buy throughput
-    # with accuracy (VERDICT r2 #5).
-    floor = float(os.environ.get("BENCH_ACCURACY_FLOOR", "0.80"))
+    # with accuracy (VERDICT r2 #5).  The floor is ratcheted to 0.81
+    # (measured 0.8189 at r3) so a uniform regression the oracle-Δ gate
+    # cannot see still fails the bench (VERDICT r3 weak #4).
+    floor = float(os.environ.get("BENCH_ACCURACY_FLOOR", "0.81"))
     if n_queries >= 10_000 and correct < floor:
         print(json.dumps({
             "metric": "BENCH FAILED: accuracy below floor",

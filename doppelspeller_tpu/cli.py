@@ -67,16 +67,35 @@ def stage_example_data_set(source):
 
 
 @cli.command()
+@click.option("--devices", default=0, type=int,
+              help="Build the index sharded over an N-device mesh (per-shard "
+                   "on-device build, shard-by-shard checkpoint — no full "
+                   "matrix on the host or any single device). 0 = single "
+                   "device.")
+@click.option("--platform", default=None,
+              help="Device platform for the mesh (e.g. 'cpu' to use virtual "
+                   "CPU devices via --xla_force_host_platform_device_count).")
 @time_usage
-def build_index():
+def build_index(devices, platform):
     """Build and checkpoint the packed truth index (new capability)."""
     from doppelspeller_tpu.config import get_config
     from doppelspeller_tpu.ops.ngram_index import build_truth_index
     from doppelspeller_tpu.utils.io import load_ground_truth
 
     cfg = get_config()
-    index = build_truth_index(load_ground_truth(cfg), cfg)
-    index.save(cfg.index_path)
+    truth = load_ground_truth(cfg)
+    if devices:
+        from doppelspeller_tpu.parallel.sharded import (
+            build_sharded_index, make_mesh,
+        )
+
+        mesh = make_mesh(devices, axis=cfg.mesh_axis, platform=platform)
+        scorer = build_sharded_index(truth, mesh, cfg)
+        scorer.save(cfg.index_path)
+        index = scorer.index
+    else:
+        index = build_truth_index(truth, cfg)
+        index.save(cfg.index_path)
     click.echo(f"index saved to {cfg.index_path} "
                f"({index.num_titles} titles, {index.packed_nbytes / 1e6:.0f} MB packed)")
 
@@ -263,7 +282,17 @@ def serve(warmup, devices, platform):
             if line.startswith("{"):
                 req = json.loads(line)
                 if "titles" in req:
-                    out = _batch(req["titles"])
+                    titles = req["titles"]
+                    # a bare string is iterable — without this check
+                    # {"titles": "acme co"} would match per CHARACTER
+                    if not isinstance(titles, list) or not all(
+                        isinstance(t, str) for t in titles
+                    ):
+                        out = {"error": "'titles' must be a list of strings"}
+                    elif not titles:
+                        out = {"results": [], "latency_ms": 0.0}
+                    else:
+                        out = _batch(titles)
                 else:
                     out = _single(str(req["title"]), req.get("id"))
             else:

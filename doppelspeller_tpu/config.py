@@ -158,6 +158,14 @@ class Config:
     # oracle anchor additionally gates accuracy every run.  2.0 disables
     # trusting (every widened row scores its full tail)
     model_trust_threshold: float = 0.995
+    # cap (in chars) on the fuzzy stage's device DP tile.  The Levenshtein
+    # tile costs O(TL²) per pair, so a run dominated by short queries can cap
+    # the tile and let the rare long rows overflow to an exact host redo
+    # (pipeline host-redo path): a device row is flagged ``over`` whenever a
+    # length-prefilter-considered pair has any string longer than the tile.
+    # 0 = uncapped (the tile is derived from the threshold so overflow is
+    # impossible).  The cap is rounded down to a length bucket.
+    fuzzy_tile_cap: int = 0
     # rows per rerank scan step (cap; the per-(tl,wl,k) VMEM/HBM budget may
     # choose less).  Each step costs ~5 ms of fixed launch overhead on a
     # tunnel-attached chip, so bigger steps amortize; HBM temporaries are

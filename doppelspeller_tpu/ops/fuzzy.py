@@ -112,9 +112,12 @@ def _fuzzy_decide_kernel(
         matched = (mx > -1) & (cnt == 1)
         best_col = jnp.argmax(masked, axis=1).astype(jnp.int32)
         best_pos = jnp.take_along_axis(cd, best_col[:, None], axis=1)[:, 0]
-        # candidates longer than the compiled tile were scored truncated —
-        # flag the row so the host re-decides it exactly (rare)
-        over = (consider & (jnp.maximum(tle, ttsl) > tl)).reshape(C, K).any(axis=1)
+        # any considered pair with a string longer than the compiled tile
+        # (query or candidate, plain or token-sorted) was scored truncated —
+        # flag the row so the host re-decides it exactly.  Unreachable when
+        # the tile is derived from the threshold; real under fuzzy_tile_cap.
+        too_long = jnp.maximum(jnp.maximum(tle, ttsl), ql_r) > tl
+        over = (consider & too_long).reshape(C, K).any(axis=1)
         return None, (matched, best_pos, mx, over)
 
     n_chunks = R // chunk

@@ -326,7 +326,18 @@ class JaccardScorer:
             # in the flat 2D i8 layout a logical row is interleaved across
             # (32, 128) tiles and ANY gather crawls at ~5-7 GB/s
             if index.packed_pages is not None:
-                self.packed_d = index.packed_pages       # already relayouted
+                pages = index.packed_pages               # already relayouted
+                if device is not None and getattr(pages, "device", device) != device:
+                    # honor an explicit scorer device even for a cached
+                    # relayout (a scorer built with a different device would
+                    # otherwise silently score from the wrong chip)
+                    LOGGER.warning(
+                        "moving page-layout index (%.2f GB) to %s",
+                        pages.nbytes / 1e9, device,
+                    )
+                    pages = jax.device_put(pages, device)
+                    index.packed_pages = pages
+                self.packed_d = pages
             elif isinstance(index.packed, np.ndarray):
                 if index.packed.shape[1] != nb:
                     raise ValueError(
@@ -346,17 +357,33 @@ class JaccardScorer:
                     relayout_to_pages,
                 )
 
-                self.packed_d = relayout_to_pages(index.packed)
+                pages = relayout_to_pages(index.packed)
+                if device is not None and getattr(pages, "device", device) != device:
+                    pages = jax.device_put(pages, device)
+                self.packed_d = pages
                 index.packed_pages = self.packed_d
                 index.packed = np.empty(
                     (self.packed_d.shape[0], 0), dtype=np.uint8
                 )
         else:
             if index.packed.shape[1] == 0:
-                raise ValueError(
-                    "index.packed was relayouted to page layout by a pallas "
-                    "scorer; a non-pallas scorer cannot reuse it"
-                )
+                if index.packed_pages is not None:
+                    # page-layout-only index (relayouted by a pallas scorer
+                    # OR built page-direct by build_truth_index_device):
+                    # reconstruct the flat matrix rather than failing
+                    pp = index.packed_pages
+                    LOGGER.warning(
+                        "reconstructing flat packed matrix from the resident "
+                        "page layout for a non-pallas scorer (device→host "
+                        "fetch of %.2f GB)", pp.nbytes / 1e9,
+                    )
+                    index.packed = np.asarray(pp).reshape(pp.shape[0], -1)
+                else:
+                    raise ValueError(
+                        "index holds no packed matrix (mesh-built shard-only "
+                        "index); score it with ShardedJaccardScorer on the "
+                        "mesh, or rebuild single-chip"
+                    )
             self.packed_d = jax.device_put(index.packed, device)
         self._pallas_tb = 2048 if index.padded_titles % 2048 == 0 else self.cfg.title_block
         if impl.startswith("pallas"):

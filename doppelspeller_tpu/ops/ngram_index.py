@@ -96,11 +96,13 @@ class TruthIndex:
                 )
             else:
                 # mesh-built index (parallel/sharded.build_sharded_index):
-                # the matrix exists only as per-device shards and is not
-                # checkpointable from here — build on one chip to checkpoint
+                # the matrix exists only as per-device shards this TruthIndex
+                # cannot see — the SCORER checkpoints it shard-by-shard
                 raise ValueError(
-                    "cannot checkpoint a mesh-built index: the packed matrix "
-                    "lives only as device shards (build_truth_index saves)"
+                    "cannot checkpoint a mesh-built index from TruthIndex: "
+                    "the packed matrix lives only as device shards; call "
+                    "ShardedJaccardScorer.save(path) instead (host peak "
+                    "stays at one shard)"
                 )
         np.savez_compressed(
             path,
@@ -117,9 +119,21 @@ class TruthIndex:
 
     @classmethod
     def load(cls, path: str) -> "TruthIndex":
+        """Load a checkpoint.  Accepts both the single-chip format and the
+        mesh-sharded format written by ShardedJaccardScorer.save (shards are
+        concatenated column-wise into a full host matrix — use
+        ShardedJaccardScorer.load to keep it sharded)."""
         z = np.load(path)
+        if "shard_format" in z.files:
+            n_shards = int(z["shard_cols"].shape[0]) - 1
+            nbytes = int(z["padded_titles"]) // 8
+            packed = np.concatenate(
+                [z[f"packed_shard_{i}"] for i in range(n_shards)], axis=1
+            )[:, :nbytes]
+        else:
+            packed = z["packed"]
         return cls(
-            packed=z["packed"],
+            packed=packed,
             idf=z["idf"],
             df=z["df"],
             sums=z["sums"],

@@ -75,6 +75,12 @@ class ShardedJaccardScorer:
             # a single-chip pallas scorer relayouted this index in place
             # (jaccard.py) — reconstruct the flat matrix from the pages
             # rather than silently sharding the (V, 0) sentinel
+            LOGGER.warning(
+                "fetching page-layout packed matrix device→host to reshard "
+                "it (%.2f GB through the device link; this can take minutes "
+                "on a tunnel-attached chip)",
+                index.packed_pages.nbytes / 1e9,
+            )
             index = replace(index, packed=np.asarray(index.packed_pages)
                             .reshape(index.packed_pages.shape[0], -1))
         self.index = index
@@ -406,6 +412,183 @@ class ShardedJaccardScorer:
         (same contract as JaccardScorer.topk_title_ids)."""
         scores, pos = self.topk(queries, k=k, rows=rows)
         return scores, self.index.title_ids[pos]
+
+    # ------------------------------------------------- checkpoint / resume
+
+    def save(self, path: str) -> None:
+        """Checkpoint a mesh-built index shard-by-shard (VERDICT r3 missing
+        #1: ``TruthIndex.save`` cannot see the device shards, so the scorer
+        owns mesh checkpointing).
+
+        Each device's packed shard is fetched and written to the archive one
+        at a time — host peak memory stays ≈ one shard, never the full
+        matrix (the point of the mesh build at 10M-title scale).  The file
+        is a plain npz-compatible zip: metadata entries mirror
+        ``TruthIndex.save`` plus ``packed_shard_{i}`` (flat ``(V, nb_i)``
+        uint8 byte-column slices) and ``shard_cols`` (int64[D+1] byte-column
+        offsets), so ``TruthIndex.load`` can also concatenate it into a
+        single-chip index."""
+        import zipfile
+
+        idx = self.index
+        t0 = __import__("time").time()
+        by_dev = {s.device: s for s in self.packed_d.addressable_shards}
+        devices = list(np.ravel(self.mesh.devices))
+        cols = [0]
+        if not path.endswith(".npz"):
+            path += ".npz"                               # np.savez parity
+        with zipfile.ZipFile(
+            path, "w", zipfile.ZIP_DEFLATED, compresslevel=1, allowZip64=True,
+        ) as zf:
+            meta = {
+                "idf": idx.idf,
+                "df": idx.df,
+                "sums": idx.sums,
+                "title_ids": idx.title_ids,
+                "num_titles": np.int64(idx.num_titles),
+                "padded_titles": np.int64(idx.padded_titles),
+                "max_idf": np.float32(idx.max_idf),
+                "content_hash": np.str_(idx.content_hash),
+                "shard_format": np.int64(1),
+            }
+            for name, arr in meta.items():
+                _write_npy(zf, name, np.asarray(arr))
+            for i, dev in enumerate(devices):
+                arr = np.asarray(by_dev[dev].data)       # ONE shard on host
+                arr = arr.reshape(arr.shape[0], -1)      # page → flat is free
+                _write_npy(zf, f"packed_shard_{i}", arr)
+                cols.append(cols[-1] + arr.shape[1])
+            _write_npy(zf, "shard_cols", np.asarray(cols, np.int64))
+        LOGGER.info(
+            "[ShardedJaccardScorer] checkpointed %d shards (%.2f GB logical) "
+            "in %.1fs", len(devices), idx.vocab_size * cols[-1] / 1e9,
+            __import__("time").time() - t0,
+        )
+
+    @classmethod
+    def load(cls, path: str, mesh: Mesh,
+             config: Optional[Config] = None) -> "ShardedJaccardScorer":
+        """Load a checkpoint ONTO a mesh, placing the packed matrix
+        shard-by-shard (host peak ≈ one saved + one target shard).
+
+        Accepts both the sharded format written by :meth:`save` (re-chunking
+        byte columns if the target mesh size differs from the saved one) and
+        a single-chip ``TruthIndex.save`` npz (sliced column-wise)."""
+        from doppelspeller_tpu.ops.jaccard_pallas import permute_sums
+        from doppelspeller_tpu.ops.ngram_index import TruthIndex
+
+        cfg = config or get_config()
+        z = np.load(path)                                # lazy zip members
+        sharded = "shard_format" in z.files
+        index = TruthIndex(
+            packed=np.empty((int(z["idf"].shape[0]), 0), np.uint8),
+            idf=z["idf"],
+            df=z["df"],
+            sums=z["sums"],
+            title_ids=z["title_ids"],
+            num_titles=int(z["num_titles"]),
+            padded_titles=int(z["padded_titles"]),
+            max_idf=float(z["max_idf"]),
+            content_hash=str(z["content_hash"]),
+        )
+        V = index.vocab_size
+        axis = mesh.axis_names[0]
+        D = mesh.devices.size
+        tb = cfg.title_block
+        chunk = D * tb
+        ntp_pad = ((index.padded_titles + chunk - 1) // chunk) * chunk
+        nb_local = ntp_pad // D // 8
+        ntp_local = ntp_pad // D
+        impl = getattr(cfg, "retrieval_impl", "auto")
+        if impl == "auto":
+            impl = ("pallas"
+                    if mesh.devices.flat[0].platform not in ("cpu",) else "xla")
+        packed_3d = impl.startswith("pallas") and nb_local % 32 == 0
+        tb_perm = 2048 if ntp_local % 2048 == 0 else tb
+
+        if sharded:
+            cols = z["shard_cols"]
+            loaded_j = -1
+            src = None
+        else:
+            cols = np.asarray([0, z["packed"].shape[1]], np.int64)
+            loaded_j = 0
+            src = z["packed"]
+
+        sums = index.sums
+        devices = list(np.ravel(mesh.devices))
+        shards, sums_shards, perm_shards = [], [], []
+        t0 = __import__("time").time()
+        for i, dev in enumerate(devices):
+            lo, hi = i * nb_local, (i + 1) * nb_local
+            tgt = np.zeros((V, nb_local), np.uint8)
+            for j in range(len(cols) - 1):
+                s_lo, s_hi = int(cols[j]), int(cols[j + 1])
+                if s_hi <= lo or s_lo >= hi:
+                    continue
+                if j != loaded_j:                         # ONE saved shard live
+                    src = z[f"packed_shard_{j}"]
+                    loaded_j = j
+                a, b = max(lo, s_lo), min(hi, s_hi)
+                tgt[:, a - lo : b - lo] = src[:, a - s_lo : b - s_lo]
+            if packed_3d:
+                tgt = tgt.reshape(V, 32, nb_local // 32)
+            shards.append(jax.device_put(tgt, dev))
+            s_loc = np.zeros(ntp_local, np.float32)
+            s_lo = min(i * ntp_local, len(sums))
+            s_hi = min((i + 1) * ntp_local, len(sums))
+            s_loc[: s_hi - s_lo] = sums[s_lo:s_hi]
+            sums_shards.append(jax.device_put(s_loc, dev))
+            perm_shards.append(jax.device_put(permute_sums(s_loc, tb_perm), dev))
+        packed_spec = P(None, None, axis) if packed_3d else P(None, axis)
+        pshape = ((V, 32, D * (nb_local // 32)) if packed_3d
+                  else (V, ntp_pad // 8))
+        packed_d = jax.make_array_from_single_device_arrays(
+            pshape, NamedSharding(mesh, packed_spec), shards
+        )
+        sums_d = jax.make_array_from_single_device_arrays(
+            (ntp_pad,), NamedSharding(mesh, P(axis)), sums_shards
+        )
+        sums_perm_d = jax.make_array_from_single_device_arrays(
+            (ntp_pad,), NamedSharding(mesh, P(axis)), perm_shards
+        )
+        LOGGER.info(
+            "[ShardedJaccardScorer] loaded checkpoint %s onto %d devices "
+            "in %.1fs", path, D, __import__("time").time() - t0,
+        )
+        if not impl.startswith("pallas"):
+            sums_perm_d = sums_d
+        return cls(index, mesh, cfg,
+                   _device_arrays=(packed_d, sums_d, sums_perm_d))
+
+    @staticmethod
+    def checkpoint_matches(path: str, truth) -> bool:
+        """Cheap metadata check (no packed shards touched): does the
+        checkpoint at ``path`` describe exactly this truth set?"""
+        from doppelspeller_tpu.ops.ngram_index import title_content_hash
+
+        try:
+            z = np.load(path)
+            return (
+                int(z["num_titles"]) == len(truth)
+                and np.array_equal(z["title_ids"], truth.ids)
+                and str(z["content_hash"])
+                == title_content_hash(truth.encoded, truth.lengths)
+            )
+        except Exception as exc:
+            LOGGER.warning("index checkpoint at %s unreadable (%s)", path, exc)
+            return False
+
+
+def _write_npy(zf, name: str, arr: np.ndarray) -> None:
+    """Stream one array into an open zip as an npz member (np.load-able)."""
+    from numpy.lib import format as npf
+
+    arr = np.asarray(arr)
+    if arr.ndim:                # ascontiguousarray would promote 0-d to 1-d
+        arr = np.ascontiguousarray(arr)
+    with zf.open(name + ".npy", "w", force_zip64=True) as f:
+        npf.write_array(f, arr, allow_pickle=False)
 
 
 def build_sharded_index(truth, mesh: Mesh,

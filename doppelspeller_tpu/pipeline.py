@@ -178,6 +178,31 @@ class Matcher:
                 "cascade's float32 position packing would lose exactness "
                 "(shard the index across a mesh instead)"
             )
+        if (mesh is not None and index is None and use_index_checkpoint
+                and os.path.exists(self.cfg.index_path)):
+            # mesh path: load the checkpoint shard-by-shard onto the mesh
+            # (host peak ≈ one shard) instead of materializing a full host
+            # matrix first — covers both sharded- and single-chip-format
+            # checkpoints (parallel/sharded.ShardedJaccardScorer.load)
+            from doppelspeller_tpu.parallel.sharded import ShardedJaccardScorer
+
+            if ShardedJaccardScorer.checkpoint_matches(
+                self.cfg.index_path, self.truth
+            ):
+                LOGGER.info(
+                    "loading index checkpoint %s onto the mesh",
+                    self.cfg.index_path,
+                )
+                self.scorer = ShardedJaccardScorer.load(
+                    self.cfg.index_path, mesh, self.cfg
+                )
+                self.index = self.scorer.index
+                self._finish_init(model)
+                return
+            LOGGER.warning(
+                "index checkpoint at %s does not match the truth data; "
+                "rebuilding on the mesh", self.cfg.index_path,
+            )
         if index is None and use_index_checkpoint and os.path.exists(self.cfg.index_path):
             # resume from the checkpointed index (cli.py build-index) — the
             # reference rebuilds its MatchMaker from CSV on every run
@@ -221,6 +246,9 @@ class Matcher:
         else:
             self.index = index or build_truth_index(self.truth, self.cfg)
             self.scorer = JaccardScorer(self.index, self.cfg)
+        self._finish_init(model)
+
+    def _finish_init(self, model: Optional[GBTModel]) -> None:
         self.model = model
         self.word_counts = WordCounts(self.truth)
         # exact-match hash: duplicate transformed titles → last id wins
@@ -520,6 +548,12 @@ class Matcher:
             n = len(rows_g)
             valid = rows_g >= 0
             tl_g = int(need_all[rows_g[valid]].max(initial=1))
+            cap = int(getattr(cfg, "fuzzy_tile_cap", 0))
+            if cap:
+                # capped tile: long rows overflow to the exact host redo
+                tl_g = min(tl_g, max(
+                    [b for b in buckets if b <= cap] or [buckets[0]]
+                ))
             TL = int(buckets_arr[np.searchsorted(buckets_arr, tl_g)])
             q_enc_g = np.zeros((n, TL), np.uint8)
             q_len_g = np.zeros(n, np.int32)

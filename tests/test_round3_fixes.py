@@ -1,6 +1,7 @@
 """Regression tests for the round-3 ADVICE.md findings."""
 
 import numpy as np
+import pytest
 
 from doppelspeller_tpu.pipeline import Matcher, STAGE_EXACT, STAGE_FUZZY
 from doppelspeller_tpu.utils.io import TitleSet
@@ -9,6 +10,7 @@ from doppelspeller_tpu.utils.io import TitleSet
 from tests.test_pipeline import trained, world  # noqa: F401
 
 
+@pytest.mark.heavy
 def test_long_word_title_bucket_clamp(world, trained):  # noqa: F811
     """ADVICE r2 (medium): a stage-3 row whose candidate has a 33+ char
     spaceless word used to fall in the (title-bucket < word-bucket) dispatch
@@ -44,6 +46,7 @@ def test_long_word_title_bucket_clamp(world, trained):  # noqa: F811
     np.testing.assert_array_equal(r_host.stage, r_dev.stage)
 
 
+@pytest.mark.heavy
 def test_adaptive_model_depth_parity(world, trained):  # noqa: F811
     """Adaptive candidate depth (wave A over the top-k head, widen on
     probability) must reproduce the full-depth device cascade exactly."""
@@ -81,6 +84,7 @@ def test_gbt_extreme_negative_feature_not_missing():
     np.testing.assert_allclose(np.asarray(m), [1.0, 2.0, 1.0, 2.0])
 
 
+@pytest.mark.heavy
 def test_device_built_index_single_resident_copy(tmp_path):
     """Round-3 1M-title OOM fix: a pallas JaccardScorer over a device-built
     index must not keep the flat packed matrix alive next to its page-layout

@@ -1,0 +1,120 @@
+"""Regression tests for the round-4 VERDICT/ADVICE findings."""
+
+import logging
+from dataclasses import replace
+
+import numpy as np
+import pytest
+
+from doppelspeller_tpu.ops.jaccard import JaccardScorer
+from doppelspeller_tpu.ops.ngram_index import build_truth_index
+from doppelspeller_tpu.pipeline import Matcher
+from doppelspeller_tpu.utils.io import TitleSet
+
+# reuse the trained tiny-world fixtures
+from tests.test_pipeline import trained, world  # noqa: F401
+
+
+def test_fuzzy_tile_cap_overflow_host_redo(world, trained, caplog):  # noqa: F811
+    """VERDICT r3 weak #3: the fuzzy device-overflow host-redo path
+    (pipeline.py over-rows branch) must actually execute and agree with the
+    host path.  ``fuzzy_tile_cap`` bounds the device DP tile, so rows whose
+    length-prefilter-considered pairs exceed the tile overflow to an exact
+    host redo."""
+    cfg, truth, train, test, actuals = world
+    model, _ = trained
+
+    # long truth titles (> 32-char tile) with close-length queries so the
+    # pairs pass the length prefilter AND exceed the capped tile
+    long_truth = [
+        "aaaa bbbb cccc dddd eeee ffff gggg hhh",   # 38 chars
+        "mmmm nnnn oooo pppp qqqq rrrr ssss ttt",
+    ]
+    truth2 = TitleSet.from_titles(
+        list(truth.titles) + long_truth,
+        ids=np.append(truth.ids, [9001, 9002]),
+        config=cfg,
+    )
+    q_titles = [
+        "aaaa bbbb cccc dddd eeee ffff gggg hht",   # 1 sub: ratio 97 > 94
+        "mmmm nnnn oooo pppp qqqq rrrr ssss tta",
+    ] + list(test.titles[:30])
+    queries = TitleSet.from_titles(
+        q_titles, ids=np.arange(len(q_titles)), config=cfg
+    )
+
+    capped = cfg.with_(cascade_impl="device", fuzzy_tile_cap=32)
+    m_cap = Matcher(capped, truth=truth2, model=model)
+    with caplog.at_level(logging.WARNING, logger="doppelspeller_tpu.pipeline"):
+        r_cap = m_cap.predict(queries)
+    # the overflow branch must have fired (otherwise this test is vacuous)
+    assert any("fuzzy device overflow" in rec.message for rec in caplog.records)
+
+    m_host = Matcher(cfg.with_(cascade_impl="host"), truth=truth2, model=model)
+    r_host = m_host.predict(queries)
+    # the crafted rows must land in the fuzzy stage via the host redo
+    assert r_cap.match_title_id[0] == 9001
+    assert r_cap.match_title_id[1] == 9002
+    np.testing.assert_array_equal(r_cap.match_title_id, r_host.match_title_id)
+    np.testing.assert_array_equal(r_cap.stage, r_host.stage)
+
+    # stage counts stay consistent: every query is accounted for exactly once
+    matched = int((r_cap.stage > 0).sum())
+    assert sum(r_cap.stage_counts.values()) == matched
+    for stage in ("exact", "fuzzy", "model"):
+        assert r_cap.stage_counts.get(stage, 0) == r_host.stage_counts.get(stage, 0)
+
+
+def test_xla_scorer_reconstructs_page_layout_index(world):  # noqa: F811
+    """ADVICE r3: an index whose packed matrix exists only in the (V, 32, W)
+    page layout (relayouted by a pallas scorer, or built page-direct on
+    device) must still be scoreable by a non-pallas scorer — via flat-matrix
+    reconstruction, not an error."""
+    cfg, truth, train, test, actuals = world
+    cfg256 = cfg.with_(title_block=256, retrieval_impl="xla")
+    index = build_truth_index(truth, cfg256)
+    nb = index.padded_titles // 8
+    assert nb % 32 == 0
+    import jax.numpy as jnp
+
+    pages = jnp.asarray(index.packed.reshape(index.vocab_size, 32, nb // 32))
+    paged = replace(
+        index, packed=np.empty((index.vocab_size, 0), np.uint8),
+        packed_pages=pages,
+    )
+
+    s_ref = JaccardScorer(index, cfg256)
+    s_paged = JaccardScorer(paged, cfg256)     # must reconstruct, not raise
+    k = 10
+    ref_scores, ref_pos = s_ref.topk(test, k=k)
+    got_scores, got_pos = s_paged.topk(test, k=k)
+    np.testing.assert_allclose(ref_scores, got_scores, rtol=1e-6)
+    np.testing.assert_array_equal(ref_pos, got_pos)
+
+
+def test_pallas_scorer_honors_device_for_cached_pages(world):  # noqa: F811
+    """ADVICE r3: a pallas scorer built with an explicit ``device`` must move
+    a cached page-layout matrix onto that device instead of silently scoring
+    from wherever the pages were built."""
+    import jax
+
+    devices = jax.devices()
+    if len(devices) < 2:
+        pytest.skip("needs >= 2 devices")
+    cfg, truth, train, test, actuals = world
+    # the page-layout branch requires nb % 4096 == 0 (padded 32768 titles)
+    cfg_p = cfg.with_(title_block=32768, retrieval_impl="pallas",
+                      index_build_impl="host")
+    index = build_truth_index(truth, cfg_p)
+    nb = index.padded_titles // 8
+    pages = jax.device_put(
+        index.packed.reshape(index.vocab_size, 32, nb // 32), devices[0]
+    )
+    paged = replace(
+        index, packed=np.empty((index.vocab_size, 0), np.uint8),
+        packed_pages=pages,
+    )
+    scorer = JaccardScorer(paged, cfg_p, device=devices[1])
+    assert scorer.packed_d.device == devices[1]
+    # and the index cache is updated so the move happens once
+    assert paged.packed_pages.device == devices[1]
