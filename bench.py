@@ -275,7 +275,8 @@ def main():
         )
         cfg_exact = cfg.with_(score_dtype="float32", topk_recall_target=1.0,
                               model_depth_initial=0,
-                              retrieval_window_select=False)
+                              retrieval_window_select=False,
+                              retrieval_mode="exact")
         t0 = time.time()
         m_exact = Matcher(cfg_exact, truth=truth, index=index, model=model,
                           use_index_checkpoint=False)

@@ -191,7 +191,15 @@ def closest_search_single_title(title):
 @click.option("--platform", default=None,
               help="Device platform for the mesh (e.g. 'cpu' to use virtual "
                    "CPU devices via --xla_force_host_platform_device_count).")
-def serve(warmup, devices, platform):
+@click.option("--profile", default="latency",
+              type=click.Choice(["latency", "throughput"]),
+              show_default=True,
+              help="'latency' retunes the cascade's static shapes for "
+                   "single/small requests (8-query blocks, one dispatch "
+                   "group, small union buckets and rerank slabs — the same "
+                   "kernels, compiled at request-sized shapes); 'throughput' "
+                   "keeps the production batch shapes.")
+def serve(warmup, devices, platform, profile):
     """Persistent matching service over stdin/stdout (JSON lines).
 
     The engine — packed index, model trees, every cascade program — is
@@ -226,6 +234,18 @@ def serve(warmup, devices, platform):
     from doppelspeller_tpu.utils.io import TitleSet, single_title_set
 
     cfg = get_config()
+    if profile == "latency":
+        # request-sized static shapes: a single title pays a (8 x 128-union)
+        # retrieval matmul and one small rerank slab instead of the batch
+        # path's (128 x 1024)+2048-slab machinery.  Same kernels and
+        # semantics — only the compiled shapes change.
+        cfg = cfg.with_(
+            query_block=8,
+            dispatch_blocks=1,
+            union_buckets=(128, 256, 512, 1024, 2048, 4096, 8192),
+            model_slab=128,
+            rerank_chunk_cap=128,
+        )
     t0 = _time.time()
     mesh = None
     if devices:

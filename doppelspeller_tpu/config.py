@@ -101,6 +101,20 @@ class Config:
     # misspelled query is retained exactly as often as under exact
     # scoring; additionally gated by the bench oracle anchor every run.
     retrieval_window_select: bool = True
+    # two-stage folded retrieval (ops/fold.py): "auto" engages it when the
+    # scorer has the truth encodings, the pallas backend is active, and the
+    # index has >= folded_min_titles titles; "folded" forces it; "exact"
+    # disables.  The coarse pass scores an upper bound over fold_dim
+    # df-balanced trigram buckets from a small permanently-resident matrix
+    # (no per-block row gather, ~2.3x fewer MACs at fold_dim=512), then the
+    # top rescore_depth candidates per query are rescored EXACTLY against
+    # the per-title trigram lists — only coarse recall@rescore_depth is
+    # approximate (measured ~0.999+ at 500k titles; gated by the bench
+    # oracle anchor).  rescore_depth=0 returns raw coarse top-k.
+    retrieval_mode: str = "auto"
+    fold_dim: int = 512
+    rescore_depth: int = 128
+    folded_min_titles: int = 200_000
     # index construction: "auto" → on-device build on TPU (ships ~48 MB of
     # encoded titles instead of the ~3.2 GB packed matrix at 500k titles),
     # host numpy/C++ elsewhere; "host" / "device" force a path

@@ -307,7 +307,8 @@ class JaccardScorer:
     queries in static-shaped blocks and returns sorted candidate matrices.
     """
 
-    def __init__(self, index: TruthIndex, config: Optional[Config] = None, device=None):
+    def __init__(self, index: TruthIndex, config: Optional[Config] = None,
+                 device=None, truth: Optional[TitleSet] = None):
         self.cfg = config or get_config()
         self.index = index
         self.device = device
@@ -318,6 +319,44 @@ class JaccardScorer:
         if impl == "auto":
             impl = "pallas" if jax.default_backend() != "cpu" else "xla"
         self.impl = impl
+        # two-stage folded retrieval (ops/fold.py): coarse upper-bound pass
+        # over a small resident folded matrix + exact rescore — no per-block
+        # row gather and ~2.3x fewer coarse MACs.  Needs the truth
+        # ENCODINGS; "auto" engages it for large indexes only (small ones
+        # are already fast exactly, and stay bit-faithful to the oracle).
+        mode = getattr(self.cfg, "retrieval_mode", "auto")
+        want_folded = mode == "folded" or (
+            mode == "auto"
+            and truth is not None
+            and impl.startswith("pallas")
+            and index.num_titles >= int(getattr(
+                self.cfg, "folded_min_titles", 200_000))
+        )
+        self.folded = None
+        if want_folded:
+            if truth is None:
+                raise ValueError(
+                    "retrieval_mode='folded' needs the truth TitleSet "
+                    "(encodings) — pass truth= to JaccardScorer"
+                )
+            from doppelspeller_tpu.ops.fold import FoldedEngine
+            from doppelspeller_tpu.ops.jaccard_pallas import permute_sums
+
+            self._pallas_tb = (
+                2048 if index.padded_titles % 2048 == 0 else self.cfg.title_block
+            )
+            self.sums_perm_d = jax.device_put(
+                permute_sums(index.sums, self._pallas_tb), device
+            )
+            self.folded = FoldedEngine(
+                index, truth, self.cfg, device,
+                sums_perm_d=self.sums_perm_d, pallas_tb=self._pallas_tb,
+            )
+            self.packed_d = None
+            self.idf_d = jax.device_put(index.idf, device)
+            fb = np.where(index.df > 0, index.idf, np.float32(index.max_idf))
+            self.fb_d = jax.device_put(fb.astype(np.float32), device)
+            return
         nb = index.padded_titles // 8
         if impl == "pallas" and nb and nb % 4096 == 0:
             # store the matrix as (V, 32, NB/32): every trigram row becomes
@@ -422,6 +461,26 @@ class JaccardScorer:
         if self.index.num_titles < k:
             raise ValueError(f"index has {self.index.num_titles} titles < k={k}")
         t0 = _t.time()
+        if self.folded is not None:
+            from doppelspeller_tpu.ops.fold import plan_id_blocks
+
+            plans = plan_id_blocks(queries, self.cfg, rows=rows)
+            if not plans:
+                return [], plans
+            g = max(1, int(getattr(self.cfg, "dispatch_blocks", 16)))
+            qb, lq = plans[0].ids.shape
+            pending = [
+                self.folded.dispatch(
+                    plans[s : s + g], g, qb, lq, k, self.impl,
+                    probe_tables=probe_tables,
+                )
+                for s in range(0, len(plans), g)
+            ]
+            LOGGER.info(
+                "topk_device[folded]: %d blocks / %d groups dispatched in "
+                "%.2fs", len(plans), len(pending), _t.time() - t0,
+            )
+            return pending, plans
         plans = plan_query_blocks(queries, self.index, self.cfg, rows=rows)
         if not plans:
             return [], plans

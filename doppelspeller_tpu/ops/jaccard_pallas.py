@@ -187,6 +187,11 @@ def _unpack_mm_chunk(w_ref, rows_ref, uc, score_dtype, j, acc):
     (uc, TB) i32 materialization), measured on v5e at U=2048."""
     rows_c = rows_ref[pl.ds(j * uc, uc), :].astype(jnp.int32)   # (uc, TB//8)
     wc = w_ref[:, pl.ds(j * uc, uc)]                            # (QB, uc)
+    # with f32 weights force true-f32 MXU passes: the DEFAULT precision
+    # multiplies in bf16 even for f32 inputs, a ~1e-3 relative score error
+    # the "exact" oracle config must not carry
+    precision = (jax.lax.Precision.HIGHEST
+                 if jnp.dtype(score_dtype) == jnp.float32 else None)
     parts = []
     for s in range(8):
         bits = ((rows_c & (1 << s)) != 0).astype(score_dtype)
@@ -194,6 +199,7 @@ def _unpack_mm_chunk(w_ref, rows_ref, uc, score_dtype, j, acc):
             wc, bits,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=precision,
         ))
     return acc + jnp.concatenate(parts, axis=1)
 
@@ -330,18 +336,24 @@ def jaccard_topk_pallas_v2(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused retrieval step (v2 tiling).  Returns (f32[QB, k], i32[QB, k])."""
     dtype = jnp.dtype(score_dtype)
-    U = union_ids.shape[0]
     QB = weights.shape[0]
+    if union_ids is None:
+        # folded/coarse mode (ops/fold.py): ``packed`` IS the (U, ntp//8)
+        # row matrix (permanently resident) — no gather at all
+        rows = packed
+        U = rows.shape[0]
+    else:
+        U = union_ids.shape[0]
+        if packed.ndim == 3:
+            rows = gather_rows_pallas(packed, union_ids, interpret=interpret)
+        else:
+            rows = packed[union_ids]                      # (U, ntp//8)
     # largest divisor of U that fits the requested chunk: fewer fori steps
     # amortize the per-chunk weight slice (uc=U measured ~20% faster than
     # uc=U/2 at U=2048) while bounding the VMEM live set for big unions
     uc = min(uc, U)
     while U % uc:
         uc -= 1
-    if packed.ndim == 3:
-        rows = gather_rows_pallas(packed, union_ids, interpret=interpret)
-    else:
-        rows = packed[union_ids]                          # (U, ntp//8)
     ntp = rows.shape[1] * 8
     if ntp % tb:
         raise ValueError(f"padded title count {ntp} not divisible by tile {tb}")

@@ -245,7 +245,7 @@ class Matcher:
             self.scorer = ShardedJaccardScorer(self.index, mesh, self.cfg)
         else:
             self.index = index or build_truth_index(self.truth, self.cfg)
-            self.scorer = JaccardScorer(self.index, self.cfg)
+            self.scorer = JaccardScorer(self.index, self.cfg, truth=self.truth)
         self._finish_init(model)
 
     def _finish_init(self, model: Optional[GBTModel]) -> None:
@@ -538,8 +538,11 @@ class Matcher:
             slot_rows.append(rows_g)
 
         # sync on the last group's scores: attributes retrieval time in the
-        # stage log (device execution is serial; only the fetch cost is added)
-        np.asarray(pending[-1][1])
+        # stage log (device execution is serial; only the fetch cost is
+        # added).  Skipped for tiny batches — a serving-path single query
+        # would pay a whole tunnel round-trip just for timing attribution
+        if len(rem) > 256:
+            np.asarray(pending[-1][1])
         t_retr = _time.time()
         res.stage_seconds["retrieval"] = t_retr - t0
 

@@ -82,6 +82,35 @@ for bs in (8, 64, 512):
     matcher.predict(qs)
     batch_lat[bs] = round((time.time() - t0) * 1e3, 1)
 
+# ---- serve --profile latency: request-sized static shapes ----------------
+# (the same overrides cli.serve applies; measures what the serving mode
+# actually ships)
+cfg_lat = cfg.with_(
+    query_block=8,
+    dispatch_blocks=1,
+    union_buckets=(128, 256, 512, 1024, 2048, 4096, 8192),
+    model_slab=128,
+    rerank_chunk_cap=128,
+)
+matcher_lat = Matcher(cfg_lat, truth=truth, index=index, model=model,
+                      use_index_checkpoint=False)
+t0 = time.time()
+for q in picks[:8]:
+    matcher_lat.predict(TitleSet.from_titles([q], config=cfg_lat), single=True)
+print(f"# latency-profile warmup: {time.time()-t0:.1f}s", file=sys.stderr)
+lat2 = []
+for q in picks[8:]:
+    t0 = time.time()
+    matcher_lat.predict(TitleSet.from_titles([q], config=cfg_lat), single=True)
+    lat2.append(time.time() - t0)
+lat2_ms = np.array(lat2) * 1e3
+batch8 = TitleSet.from_titles(
+    [pool[i] for i in rng.integers(0, len(pool), 8)], config=cfg_lat)
+matcher_lat.predict(batch8)
+t0 = time.time()
+matcher_lat.predict(batch8)
+batch8_ms = round((time.time() - t0) * 1e3, 1)
+
 out = {
     "metric": f"warm single-title match latency vs {n_titles} titles",
     "unit": "ms",
@@ -90,5 +119,14 @@ out = {
     "mean_ms": round(float(lat_ms.mean()), 1),
     "reps": reps,
     "batch_ms": batch_lat,
+    "latency_profile": {
+        "p50_ms": round(float(np.percentile(lat2_ms, 50)), 1),
+        "p95_ms": round(float(np.percentile(lat2_ms, 95)), 1),
+        "mean_ms": round(float(lat2_ms.mean()), 1),
+        "batch8_ms": batch8_ms,
+    },
 }
 print(json.dumps(out))
+with open(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "SERVING.json"), "w") as f:
+    json.dump(out, f, indent=1)

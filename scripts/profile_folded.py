@@ -1,0 +1,147 @@
+"""Per-piece timing of the FOLDED retrieval block at production shapes.
+
+Synthesizes tensors with the exact bench-scale shapes (C=512, QB=128, LQ=64,
+ntp=524288, k'=128) — contents are random; only shapes/dtypes drive kernel
+cost — and times, inside one jitted scan each (args passed as jit params;
+device time is realized by fetching a folded scalar):
+
+  1. weight fold (scatter-add)     vs one-hot-sum variant
+  2. coarse score + windowed select (k')
+  3. TL row gather (XLA)           int32 vs uint16
+  4. rescore compute (LQ fori)
+  5. full folded step (everything) = what _folded_multiblock runs per block
+
+Usage: python scripts/profile_folded.py [n_titles]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("PROJECT_DATA_PATH", "/tmp/doppel_tpu_test_data")
+
+NTP = int(sys.argv[1]) if len(sys.argv) > 1 else 524288
+C, QB, LQ, KP, K = 512, 128, 64, 128, 100
+TB = 2048
+V = 50653
+REPS = int(os.environ.get("PROF_REPS", 24))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from doppelspeller_tpu.ops.fold import _coarse_weights, _rescore_exact
+    from doppelspeller_tpu.ops.jaccard_pallas import (
+        jaccard_topk_pallas_v2, permute_sums,
+    )
+
+    r = np.random.default_rng(0)
+    mc = jnp.asarray(r.integers(0, 256, (C, NTP // 8), dtype=np.uint8))
+    sums = jnp.asarray(r.random(NTP, dtype=np.float32) * 40 + 5)
+    sums_perm = jnp.asarray(permute_sums(np.asarray(sums), TB))
+    ltw = 56
+    tl32 = jnp.asarray(r.integers(0, V, (NTP, ltw), dtype=np.int32))
+    tl16 = tl32.astype(jnp.uint16)
+    ids = jnp.asarray(r.integers(0, V, (QB, LQ), dtype=np.int32))
+    idf_ext = jnp.asarray(
+        np.concatenate([r.random(V, dtype=np.float32) * 10, [0.0]]
+                       ).astype(np.float32))
+    fb_ext = idf_ext
+    fold_ext = jnp.asarray(
+        np.concatenate([r.integers(0, C, V), [C]]).astype(np.int32))
+    nt = jnp.int32(NTP - 7)
+
+    def timed(fn, ops, label):
+        @jax.jit
+        def run(*ops):
+            def step(c, i):
+                out = fn(i, *ops)
+                s = sum(jnp.sum(o.reshape(-1)[:2].astype(jnp.float32))
+                        for o in jax.tree_util.tree_leaves(out))
+                return c + s, None
+            c, _ = jax.lax.scan(step, jnp.float32(0.0), jnp.arange(REPS))
+            return c
+        float(run(*ops))
+        t0 = time.time()
+        float(run(*ops))
+        dt = (time.time() - t0) / REPS
+        print(f"# {label}: {dt*1e3:.2f} ms/block", file=sys.stderr)
+        return dt
+
+    # 1a. weight fold, scatter-add (production)
+    def wf_scatter(i, ids, idf_ext, fold_ext):
+        return _coarse_weights(ids + i * 0, idf_ext, fold_ext, C, jnp.bfloat16)
+    t_wf = timed(wf_scatter, (ids, idf_ext, fold_ext), "weight fold (scatter)")
+
+    # 1b. one-hot-sum variant
+    def wf_onehot(i, ids, idf_ext, fold_ext):
+        w_val = idf_ext[ids]
+        fpos = fold_ext[ids]
+        oh = (fpos[:, :, None] == jnp.arange(C, dtype=jnp.int32)).astype(
+            jnp.float32)
+        return (w_val[:, :, None] * oh).sum(1).astype(jnp.bfloat16), w_val
+    t_wf2 = timed(wf_onehot, (ids, idf_ext, fold_ext), "weight fold (one-hot)")
+
+    wfold, w_val = _coarse_weights(ids, idf_ext, fold_ext, C, jnp.bfloat16)
+    maxint = fb_ext[ids].sum(axis=1)
+    wfold, w_val, maxint = jax.block_until_ready((wfold, w_val, maxint))
+
+    # 2. coarse + windowed select at k'
+    def coarse(i, mc, sums_perm, wfold, maxint, nt):
+        return jaccard_topk_pallas_v2(
+            mc, sums_perm, wfold, maxint, None, nt, k=KP, tb=TB, uc=C,
+            score_dtype="bfloat16", recall_target=0.99, window_select=True)
+    t_coarse = timed(coarse, (mc, sums_perm, wfold, maxint, nt),
+                     f"coarse+select k'={KP}")
+    vals_c, pos_c = coarse(0, mc, sums_perm, wfold, maxint, nt)
+    vals_c, pos_c = jax.block_until_ready((vals_c, pos_c))
+
+    # 3. TL gather
+    def g32(i, tl, pos):
+        return tl[pos]
+    t_g32 = timed(g32, (tl32, pos_c), "TL gather int32")
+    t_g16 = timed(g32, (tl16, pos_c), "TL gather uint16")
+
+    # 4. rescore compute (gather + LQ loop + topk)
+    def resc(i, tl, sums, ids, w_val, maxint, vals_c, pos_c, nt):
+        return _rescore_exact(tl, sums, ids, w_val, maxint, vals_c, pos_c,
+                              nt, K)
+    t_re32 = timed(resc, (tl32, sums, ids, w_val, maxint, vals_c, pos_c, nt),
+                   "rescore (int32 TL)")
+    t_re16 = timed(resc, (tl16, sums, ids, w_val, maxint, vals_c, pos_c, nt),
+                   "rescore (uint16 TL)")
+
+    # 5. full folded step
+    def full(i, mc, sums_perm, sums, tl, ids, idf_ext, fb_ext, fold_ext, nt):
+        wfold, w_val = _coarse_weights(ids, idf_ext, fold_ext, C, jnp.bfloat16)
+        maxint = fb_ext[ids].sum(axis=1)
+        v, p = jaccard_topk_pallas_v2(
+            mc, sums_perm, wfold, maxint, None, nt, k=KP, tb=TB, uc=C,
+            score_dtype="bfloat16", recall_target=0.99, window_select=True)
+        return _rescore_exact(tl, sums, ids, w_val, maxint, v, p, nt, K)
+    t_full = timed(full, (mc, sums_perm, sums, tl32, ids, idf_ext, fb_ext,
+                          fold_ext, nt), "FULL folded block (int32 TL)")
+    t_full16 = timed(full, (mc, sums_perm, sums, tl16, ids, idf_ext, fb_ext,
+                            fold_ext, nt), "FULL folded block (uint16 TL)")
+
+    import json
+    print(json.dumps({
+        "ntp": NTP, "C": C, "qb": QB, "kprime": KP,
+        "wf_scatter_ms": round(t_wf * 1e3, 3),
+        "wf_onehot_ms": round(t_wf2 * 1e3, 3),
+        "coarse_select_ms": round(t_coarse * 1e3, 3),
+        "tl_gather_i32_ms": round(t_g32 * 1e3, 3),
+        "tl_gather_u16_ms": round(t_g16 * 1e3, 3),
+        "rescore_i32_ms": round(t_re32 * 1e3, 3),
+        "rescore_u16_ms": round(t_re16 * 1e3, 3),
+        "full_i32_ms": round(t_full * 1e3, 3),
+        "full_u16_ms": round(t_full16 * 1e3, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
