@@ -46,6 +46,27 @@ def make_synthetic_world(n_titles: int, n_queries: int, seed: int = 7):
     import json as _json
 
     overrides = _json.loads(os.environ.get("BENCH_CFG", "{}"))
+    # BENCH_CFG='{"query_block": 128, ...}' overrides any Config field
+    cfg0 = Config(**{k: tuple(v) if isinstance(v, list) else v
+                     for k, v in overrides.items()})
+
+    # the raw title/query lists are pure-Python generation (~10 min at
+    # 500k×100k on this 1-core host) and depend only on (sizes, seed) —
+    # cache them so bench iterations pay it once per machine
+    cache = f"/tmp/doppel_bench_world_{n_titles}_{n_queries}_{seed}.npz"
+    if os.path.exists(cache):
+        z = np.load(cache, allow_pickle=False)
+        titles = z["titles"].tolist()
+        q_titles = z["q_titles"].tolist()
+        q_actual = z["q_actual"]
+        truth = TitleSet.from_titles(
+            titles, ids=np.arange(1, n_titles + 1, dtype=np.int64), config=cfg0
+        )
+        queries = TitleSet.from_titles(
+            q_titles, ids=np.arange(n_queries, dtype=np.int64), config=cfg0
+        )
+        return cfg0, truth, queries, q_actual
+
     rng = random.Random(seed)
     # zipf-ish word vocabulary: common suffixes + random stems
     common = [
@@ -68,10 +89,7 @@ def make_synthetic_world(n_titles: int, n_queries: int, seed: int = 7):
         return " ".join(words)
 
     titles = [make_title() for _ in range(n_titles)]
-    # BENCH_CFG='{"query_block": 128, ...}' overrides any Config field —
-    # the bench doubles as the perf lab for blocking-knob experiments
-    cfg = Config(**{k: tuple(v) if isinstance(v, list) else v
-                    for k, v in overrides.items()})
+    cfg = cfg0
     truth = TitleSet.from_titles(
         titles, ids=np.arange(1, n_titles + 1, dtype=np.int64), config=cfg
     )
@@ -94,6 +112,13 @@ def make_synthetic_world(n_titles: int, n_queries: int, seed: int = 7):
     queries = TitleSet.from_titles(
         q_titles, ids=np.arange(n_queries, dtype=np.int64), config=cfg
     )
+    try:
+        np.savez_compressed(
+            cache, titles=np.asarray(titles), q_titles=np.asarray(q_titles),
+            q_actual=np.asarray(q_actual),
+        )
+    except OSError:
+        pass
     return cfg, truth, queries, np.asarray(q_actual)
 
 

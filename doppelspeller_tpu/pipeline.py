@@ -350,12 +350,10 @@ class Matcher:
         ratio = np.zeros((R, K), dtype=np.int32)
         rows, cols = np.nonzero(consider)
         if len(rows):
-            # token-sorted query encodings for the remaining rows
-            ts_q = [self._token_sort(queries.transformed[r]) for r in rem]
-            ts_q_enc = T.encode_titles(ts_q, cfg.max_characters)
-            ts_q_len = np.array(
-                [min(len(s), cfg.max_characters) for s in ts_q], np.int32
-            )
+            # token-sorted query encodings (cached per TitleSet) for rem
+            ts_all, ts_len_all = queries.encoded_token_sorted
+            ts_q_enc = ts_all[rem][:, : cfg.max_characters]
+            ts_q_len = np.minimum(ts_len_all[rem], cfg.max_characters)
             ts_t_enc, ts_t_len = self.ts_truth
             engine = self._fuzzy_engine()
             ratio[rows, cols] = engine.ratios(
@@ -520,11 +518,12 @@ class Matcher:
         )
 
         # fuzzy host prep AFTER the retrieval dispatch so the single
-        # host thread works while the device scores (~1 s for 100k titles)
-        ts_q = [self._token_sort(queries.transformed[r]) for r in rem]
-        ts_enc_rem = T.encode_titles(ts_q, cfg.max_characters)
-        ts_len_rem = np.array(
-            [min(len(s), cfg.max_characters) for s in ts_q], np.int32
+        # host thread works while the device scores (~1 s for 100k titles
+        # on first use; cached on the TitleSet for repeat predicts)
+        ts_enc_all, ts_len_all = queries.encoded_token_sorted
+        ts_enc_rem = ts_enc_all[rem][:, : cfg.max_characters]
+        ts_len_rem = np.minimum(ts_len_all[rem], cfg.max_characters).astype(
+            np.int32
         )
         pos_of_rem = {int(r): j for j, r in enumerate(rem)}
 

@@ -32,6 +32,7 @@ class TitleSet:
     labels: Optional[np.ndarray] = None  # int64[B] title_id labels (train only)
     _words: Optional[List[List[str]]] = field(default=None, repr=False)
     _wo: Optional[tuple] = field(default=None, repr=False)
+    _ts: Optional[tuple] = field(default=None, repr=False)
 
     def __len__(self) -> int:
         return len(self.transformed)
@@ -56,6 +57,21 @@ class TitleSet:
             ln = np.array([min(len(t), L) for t in wo], dtype=np.int32)
             self._wo = (enc, ln)
         return self._wo
+
+    @property
+    def encoded_token_sorted(self) -> tuple:
+        """Token-sorted encodings (enc uint8[B, L], len int32[B]), lazily
+        built once per set — the fuzzy stage's token-sort-ratio fallback
+        (reference common.py:165-167) re-sorts every remaining query's words
+        on each predict call (~1 s of single-core Python at 100k rows);
+        cached here like :pyattr:`encoded_wo` so repeat predicts reuse it."""
+        if self._ts is None:
+            L = self.encoded.shape[1]
+            ts = [" ".join(sorted(t.split())) for t in self.transformed]
+            enc = T.encode_titles(ts, L)
+            ln = np.array([min(len(t), L) for t in ts], dtype=np.int32)
+            self._ts = (enc, ln)
+        return self._ts
 
     @classmethod
     def from_titles(
