@@ -115,6 +115,13 @@ class Config:
     fold_dim: int = 512
     rescore_depth: int = 128
     folded_min_titles: int = 200_000
+    # query-block size for the FOLDED path only (0 → query_block).  The
+    # exact path keeps QB small because its contraction is the per-block
+    # trigram UNION, which grows with QB — but the folded contraction is
+    # fixed at fold_dim regardless of QB, so larger folded blocks amortize
+    # per-block fixed costs (scan-step overhead, rescore setup, select
+    # windows) with no extra MACs.
+    fold_query_block: int = 0
     # index construction: "auto" → on-device build on TPU (ships ~48 MB of
     # encoded titles instead of the ~3.2 GB packed matrix at 500k titles),
     # host numpy/C++ elsewhere; "host" / "device" force a path

@@ -215,7 +215,7 @@ def plan_id_blocks(
     rows = np.asarray(rows, dtype=np.int64)
     if len(rows) == 0:
         return []
-    qb = cfg.query_block
+    qb = int(getattr(cfg, "fold_query_block", 0)) or cfg.query_block
     ids_all = T.trigram_ids_matrix(queries.encoded[rows], queries.lengths[rows])
     counts = (ids_all != T.BIG_TRIGRAM).sum(axis=1)
     need = int(counts.max(initial=1))

@@ -467,8 +467,11 @@ class JaccardScorer:
             plans = plan_id_blocks(queries, self.cfg, rows=rows)
             if not plans:
                 return [], plans
-            g = max(1, int(getattr(self.cfg, "dispatch_blocks", 16)))
             qb, lq = plans[0].ids.shape
+            # keep ~dispatch_blocks·query_block queries per device program
+            # regardless of the folded block size
+            g = max(1, int(getattr(self.cfg, "dispatch_blocks", 16))
+                    * self.cfg.query_block // qb)
             pending = [
                 self.folded.dispatch(
                     plans[s : s + g], g, qb, lq, k, self.impl,

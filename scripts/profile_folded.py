@@ -24,7 +24,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("PROJECT_DATA_PATH", "/tmp/doppel_tpu_test_data")
 
 NTP = int(sys.argv[1]) if len(sys.argv) > 1 else 524288
-C, QB, LQ, KP, K = 512, 128, 64, 128, 100
+C = int(os.environ.get("PROF_C", 512))
+QB = int(os.environ.get("PROF_QB", 128))
+LQ = int(os.environ.get("PROF_LQ", 64))
+KP = int(os.environ.get("PROF_KP", 128))
+K = 100
 TB = 2048
 V = 50653
 REPS = int(os.environ.get("PROF_REPS", 24))

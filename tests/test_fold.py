@@ -126,6 +126,23 @@ def test_plan_id_blocks_shapes(world):
     np.testing.assert_array_equal(np.sort(rows), np.arange(len(queries)))
 
 
+def test_fold_query_block_results_invariant(world):
+    """fold_query_block only re-tiles the folded dispatch — results are
+    identical to the default (query_block-sized) folded blocks."""
+    cfg, truth, queries, index, *_ = world
+    base = dict(retrieval_mode="folded", fold_dim=512, rescore_depth=64)
+    s_small = JaccardScorer(index, cfg.with_(**base), truth=truth)
+    s_big = JaccardScorer(
+        index, cfg.with_(fold_query_block=256, **base), truth=truth
+    )
+    plans_big = plan_id_blocks(queries, cfg.with_(fold_query_block=256))
+    assert plans_big[0].ids.shape[0] == 256
+    v1, p1 = s_small.topk(queries, k=25)
+    v2, p2 = s_big.topk(queries, k=25)
+    np.testing.assert_allclose(v1, v2, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(p1, p2)
+
+
 def test_folded_pallas_interpret_matches_xla(world):
     """The pallas coarse kernel (interpret mode on CPU) agrees with the XLA
     folded path (identical f32 exact-select config on both sides)."""
