@@ -33,6 +33,17 @@ VARIANTS = {
     "qb128uc512": dict(query_block=128,
                        union_buckets=(1024, 1536, 2048, 3072, 4096),
                        dispatch_blocks=32, pallas_union_chunk=512),
+    # folded two-stage variants (fold_query_block sweep; retrieval_mode
+    # forced so the lab works below folded_min_titles too)
+    "fold": dict(retrieval_mode="folded"),
+    "fold256": dict(retrieval_mode="folded", fold_query_block=256),
+    "fold512": dict(retrieval_mode="folded", fold_query_block=512),
+    "fold512g64": dict(retrieval_mode="folded", fold_query_block=512,
+                       dispatch_blocks=64),
+    "fold512kp64": dict(retrieval_mode="folded", fold_query_block=512,
+                        rescore_depth=64),
+    "fold256kp96": dict(retrieval_mode="folded", fold_query_block=256,
+                        rescore_depth=96),
 }
 
 
@@ -97,8 +108,13 @@ def main():
     for name in names:
         cfg = cfg0.with_(**VARIANTS[name])
         t0 = time.time()
-        scorer = JaccardScorer(index, cfg)
-        jax.block_until_ready(scorer.packed_d)
+        folded_variant = VARIANTS[name].get("retrieval_mode") == "folded"
+        scorer = JaccardScorer(index, cfg,
+                               truth=truth if folded_variant else None)
+        if scorer.folded is not None:
+            np.asarray(scorer.folded.mc_d[:1, :8])     # sync engine build
+        else:
+            jax.block_until_ready(scorer.packed_d)
         t_up = time.time() - t0
         ping()
 
