@@ -57,7 +57,8 @@ matcher = Matcher(cfg, truth=truth, index=index, model=model,
 
 rng = np.random.default_rng(11)
 # misspelled queries that exercise the full cascade (no exact matches)
-pool = [q for q in queries.titles if q not in set(truth.titles)]
+truth_titles = set(truth.titles)
+pool = [q for q in queries.titles if q not in truth_titles]
 picks = [pool[i] for i in rng.integers(0, len(pool), reps + 8)]
 
 # warm every path: single predicts compile their own (tiny) shapes
