@@ -3,13 +3,21 @@
 
 PYTHON ?= python
 
-.PHONY: test test-all lint stage-example-data build-index train-model \
+.PHONY: test test-heavy test-all lint stage-example-data build-index train-model \
         generate-predictions closest-search get-predictions-accuracy bench
 
-# fast loop: skips the `heavy`-marked compile-bound integration tests
-# (~270 s of a ~370 s suite).  `make test-all` runs everything incl. `slow`.
+# Test lanes (measured on the 8-CPU virtual mesh, r5):
+#   make test      fast lane, ~119 s  (104 tests; skips `heavy` and `slow`)
+#   heavy lane     ~310 s             (5 compile-bound integration tests)
+#   slow lane      >10 min            (2 full CPU train→predict example-dataset
+#                                      parity runs — nightly material; the TPU
+#                                      PARITY.json run covers the same path)
+# `make test-all` runs all three.
 test:
 	$(PYTHON) -m pytest tests/ -q -m 'not slow and not heavy'
+
+test-heavy:
+	$(PYTHON) -m pytest tests/ -q -m 'heavy'
 
 test-all:
 	$(PYTHON) -m pytest tests/ -q -m ''

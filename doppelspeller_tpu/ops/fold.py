@@ -146,10 +146,14 @@ def build_trigram_list_matrix(
     ntp: int,
     device=None,
     block: int = 65536,
+    ltw: Optional[int] = None,
 ) -> Tuple[object, int]:
     """(int32[ntp, Ltw] device matrix, Ltw): per-title sorted unique trigram
     ids, sentinel V in unused slots.  The exact-rescore stage gathers rows
-    of this instead of bit columns of the packed matrix."""
+    of this instead of bit columns of the packed matrix.
+
+    ``ltw`` forces the row width — the mesh build passes a global width so
+    every shard's matrix tiles into one sharded array."""
     import jax
     import jax.numpy as jnp
 
@@ -157,8 +161,9 @@ def build_trigram_list_matrix(
 
     nt = encoded.shape[0]
     L = encoded.shape[1]
-    l_eff = int(lengths.max(initial=3)) if nt else 3
-    ltw = max(_round_up(l_eff - 2, 8), 8)
+    if ltw is None:
+        l_eff = int(lengths.max(initial=3)) if nt else 3
+        ltw = max(_round_up(l_eff - 2, 8), 8)
 
     @jax.jit
     def ids_block(enc_blk, len_blk):

@@ -334,6 +334,19 @@ class JaccardScorer:
         )
         self.folded = None
         if want_folded:
+            if mode == "auto":
+                # approximate-by-default is deliberate (it matches the
+                # bf16/window-select defaults and is gated by the bench
+                # oracle anchor), but callers relying on EXACT top-k get a
+                # behavior change at folded_min_titles — say so loudly
+                # (ADVICE r4)
+                LOGGER.info(
+                    "retrieval_mode='auto' engages FOLDED retrieval at "
+                    "%d titles: coarse recall@%d is ~0.999, not exact; set "
+                    "retrieval_mode='exact' for exact top-k",
+                    index.num_titles,
+                    int(getattr(self.cfg, "rescore_depth", 128)),
+                )
             if truth is None:
                 raise ValueError(
                     "retrieval_mode='folded' needs the truth TitleSet "

@@ -850,6 +850,16 @@ class Matcher:
         cfg = self.cfg
         if single and len(queries) != 1:
             raise ValueError("single prediction requires exactly one query")
+        if queries.encoded.shape[1] != cfg.max_characters:
+            # the cached derived encodings (encoded_wo / encoded_token_sorted)
+            # are built at the TitleSet's construction width; mixing widths
+            # would silently truncate fuzzy-stage encodings (ADVICE r4)
+            raise ValueError(
+                f"queries were encoded at width {queries.encoded.shape[1]} "
+                f"but this Matcher's config.max_characters is "
+                f"{cfg.max_characters}; build the TitleSet with the same "
+                "config as the Matcher"
+            )
         n = len(queries)
         res = PredictionResult(
             test_index=queries.ids.copy(),

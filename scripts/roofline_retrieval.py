@@ -42,7 +42,7 @@ def main():
     import jax.numpy as jnp
 
     from bench import make_synthetic_world
-    from doppelspeller_tpu.ops.jaccard import JaccardScorer, densify_weights
+    from doppelspeller_tpu.ops.jaccard import JaccardScorer
     from doppelspeller_tpu.ops.jaccard_pallas import (
         gather_rows_pallas, jaccard_topk_pallas_v2, select_topk_windowed,
     )

@@ -4,20 +4,16 @@ import random
 import string
 
 import numpy as np
-import pytest
 
 from doppelspeller_tpu import constants as c
-from doppelspeller_tpu.config import Config
-from doppelspeller_tpu.models.gbt import GBTParams
 from doppelspeller_tpu.models.trainer import (
     assemble_training_pairs,
     evaluation_indexes,
-    train_model,
 )
 from doppelspeller_tpu.ops.jaccard import JaccardScorer
 from doppelspeller_tpu.ops.ngram_index import build_truth_index
 from doppelspeller_tpu.pipeline import Matcher, accuracy_report
-from doppelspeller_tpu.utils.io import TitleSet, single_title_set
+from doppelspeller_tpu.utils.io import single_title_set
 from doppelspeller_tpu.utils.misspell import generate_misspelled_name
 
 
@@ -25,71 +21,8 @@ def _word(rng, n):
     return "".join(rng.choice(string.ascii_lowercase) for _ in range(n))
 
 
-@pytest.fixture(scope="module")
-def world(tmp_path_factory):
-    """A synthetic truth DB + train + test set with known ground truth."""
-    rng = random.Random(11)
-    tmp = tmp_path_factory.mktemp("world")
-    cfg = Config(
-        data_path=str(tmp),
-        title_block=128,
-        query_block=8,
-        score_dtype="float32",
-        pair_block=128,
-        top_n_predicting=20,
-        top_n_training=5,
-        gbt_num_boost_round=40,
-        gbt_early_stopping_rounds=40,
-        seed=5,
-    )
-    truth_titles = []
-    for _ in range(250):
-        n_words = rng.randint(2, 4)
-        truth_titles.append(" ".join(_word(rng, rng.randint(3, 9)) for _ in range(n_words)))
-    truth = TitleSet.from_titles(
-        truth_titles, ids=np.arange(1000, 1000 + len(truth_titles)), config=cfg
-    )
-
-    # train rows: 60 misspelled truth titles (labels known) + 30 random (label -1)
-    train_titles, train_labels = [], []
-    for i in range(60):
-        t = truth.transformed[i]
-        train_titles.append(generate_misspelled_name(t, rng))
-        train_labels.append(int(truth.ids[i]))
-    for _ in range(30):
-        train_titles.append(" ".join(_word(rng, rng.randint(4, 8)) for _ in range(3)))
-        train_labels.append(-1)
-    train = TitleSet.from_titles(
-        train_titles, ids=np.arange(len(train_titles)),
-        labels=np.array(train_labels), config=cfg,
-    )
-
-    # test rows: 30 exact + 40 misspelled + 20 not-in-truth
-    test_titles, actuals = [], []
-    for i in range(100, 130):
-        test_titles.append(truth.titles[i])
-        actuals.append(int(truth.ids[i]))
-    for i in range(130, 170):
-        test_titles.append(generate_misspelled_name(truth.transformed[i], rng))
-        actuals.append(int(truth.ids[i]))
-    for _ in range(20):
-        test_titles.append(" ".join(_word(rng, rng.randint(5, 9)) for _ in range(3)))
-        actuals.append(-1)
-    test = TitleSet.from_titles(
-        test_titles, ids=np.arange(len(test_titles)), config=cfg
-    )
-    return cfg, truth, train, test, np.array(actuals)
-
-
-@pytest.fixture(scope="module")
-def trained(world):
-    cfg, truth, train, test, actuals = world
-    params = GBTParams.from_config(cfg)
-    params.num_boost_round = 40
-    model, report = train_model(
-        config=cfg, train=train, truth=truth, params=params, save=True
-    )
-    return model, report
+# `world` and `trained` are session-scoped fixtures in conftest.py (shared
+# with test_round3_fixes / test_round4_fixes so the ~19 s setup runs once).
 
 
 def test_assemble_training_pairs(world):

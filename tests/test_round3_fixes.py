@@ -7,7 +7,6 @@ from doppelspeller_tpu.pipeline import Matcher, STAGE_EXACT, STAGE_FUZZY
 from doppelspeller_tpu.utils.io import TitleSet
 
 # reuse the trained tiny-world fixtures
-from tests.test_pipeline import trained, world  # noqa: F401
 
 
 @pytest.mark.heavy

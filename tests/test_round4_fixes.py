@@ -12,7 +12,6 @@ from doppelspeller_tpu.pipeline import Matcher
 from doppelspeller_tpu.utils.io import TitleSet
 
 # reuse the trained tiny-world fixtures
-from tests.test_pipeline import trained, world  # noqa: F401
 
 
 def test_fuzzy_tile_cap_overflow_host_redo(world, trained, caplog):  # noqa: F811
