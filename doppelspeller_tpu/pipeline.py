@@ -194,7 +194,7 @@ class Matcher:
                     self.cfg.index_path,
                 )
                 self.scorer = ShardedJaccardScorer.load(
-                    self.cfg.index_path, mesh, self.cfg
+                    self.cfg.index_path, mesh, self.cfg, truth=self.truth
                 )
                 self.index = self.scorer.index
                 self._finish_init(model)
@@ -242,7 +242,9 @@ class Matcher:
             from doppelspeller_tpu.parallel.sharded import ShardedJaccardScorer
 
             self.index = index
-            self.scorer = ShardedJaccardScorer(self.index, mesh, self.cfg)
+            self.scorer = ShardedJaccardScorer(
+                self.index, mesh, self.cfg, truth=self.truth
+            )
         else:
             self.index = index or build_truth_index(self.truth, self.cfg)
             self.scorer = JaccardScorer(self.index, self.cfg, truth=self.truth)
