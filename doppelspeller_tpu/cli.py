@@ -219,10 +219,13 @@ def serve(warmup, devices, platform, profile):
     predict.py:316-317); batch requests apply full production semantics
     (0.9 threshold, −1 not-found).
 
-    Steady-state latency on the example set (1×v5e): ~170 ms single title,
-    ~370 ms small batch.  The first request whose candidates land in a new
-    (title-length, word-length) bucket compiles that rerank program once
-    (~2.5 s, cached persistently across processes).
+    Steady-state latency (1×v5e, warm, 500k-title index): ~38 ms p50
+    single title and ~39 ms for a batch of 8 under the default latency
+    profile — single/small requests run the FUSED one-dispatch cascade
+    (retrieval → fuzzy → model in one device program, one fetch;
+    ops/serve_fused.py; SERVING.json).  The first request whose candidates
+    land in a new length bucket compiles its program once (~2.5 s, cached
+    persistently across processes).
     """
     import json
     import time as _time
@@ -255,6 +258,11 @@ def serve(warmup, devices, platform, profile):
     matcher = Matcher(cfg, mesh=mesh)
     if warmup:
         matcher.predict(single_title_set("wrmup exampl compani", cfg), single=True)
+        # a longer title warms the next fuzzy-tile bucket of the fused
+        # one-dispatch cascade (programs are keyed on the length bucket)
+        matcher.predict(single_title_set(
+            "wrmup exampl compani with a much longer title form", cfg,
+        ), single=True)
         # compile the batch-cascade programs too (block-padded static
         # shapes, so any later batch size reuses them)
         matcher.predict(TitleSet.from_titles(

