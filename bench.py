@@ -251,6 +251,7 @@ def main():
     # weak #5: rep0 ran ~30% over the median)
     queries.encoded_token_sorted
     queries.encoded_wo
+    queries.trigram_ids()
     print(f"# warmup: {time.time()-t0:.1f}s", file=sys.stderr)
 
     # the tunnel-attached TPU's throughput swings run to run (worker

@@ -221,7 +221,7 @@ def plan_id_blocks(
     if len(rows) == 0:
         return []
     qb = int(getattr(cfg, "fold_query_block", 0)) or cfg.query_block
-    ids_all = T.trigram_ids_matrix(queries.encoded[rows], queries.lengths[rows])
+    ids_all = queries.trigram_ids()[rows]      # cached per TitleSet
     counts = (ids_all != T.BIG_TRIGRAM).sum(axis=1)
     need = int(counts.max(initial=1))
     lq = next(b for b in (cfg.max_query_trigrams, 128, 253)

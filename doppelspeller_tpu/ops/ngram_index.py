@@ -293,7 +293,7 @@ def plan_query_blocks(
     union_cap = buckets[-1]
     BIG = T.BIG_TRIGRAM
 
-    ids_all = T.trigram_ids_matrix(queries.encoded[rows], queries.lengths[rows])
+    ids_all = queries.trigram_ids()[rows]      # cached per TitleSet
     valid_all = ids_all != BIG
 
     # per-query trigram count → one static LQ bucket for the whole run

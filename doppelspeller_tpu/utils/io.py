@@ -33,6 +33,7 @@ class TitleSet:
     _words: Optional[List[List[str]]] = field(default=None, repr=False)
     _wo: Optional[tuple] = field(default=None, repr=False)
     _ts: Optional[tuple] = field(default=None, repr=False)
+    _tri: Optional[np.ndarray] = field(default=None, repr=False)
 
     def __len__(self) -> int:
         return len(self.transformed)
@@ -72,6 +73,16 @@ class TitleSet:
             ln = np.array([min(len(t), L) for t in ts], dtype=np.int32)
             self._ts = (enc, ln)
         return self._ts
+
+    def trigram_ids(self) -> np.ndarray:
+        """int32[B, W] per-title sorted unique trigram ids (BIG_TRIGRAM in
+        invalid/duplicate slots), computed once per set.  Both retrieval
+        planners used to recompute this on every predict call — ~0.4 s of
+        single-core numpy per 100k-query rep on this host, charged to the
+        bench's retrieval stage."""
+        if self._tri is None:
+            self._tri = T.trigram_ids_matrix(self.encoded, self.lengths)
+        return self._tri
 
     @classmethod
     def from_titles(

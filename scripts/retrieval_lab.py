@@ -44,6 +44,10 @@ VARIANTS = {
                         rescore_depth=64),
     "fold256kp96": dict(retrieval_mode="folded", fold_query_block=256,
                         rescore_depth=96),
+    # r5: depth sweep at the production block size (the r4 kp sweeps all
+    # changed fold_query_block at the same time)
+    "foldkp64": dict(retrieval_mode="folded", rescore_depth=64),
+    "foldkp96": dict(retrieval_mode="folded", rescore_depth=96),
 }
 
 
