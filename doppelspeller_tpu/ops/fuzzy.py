@@ -61,6 +61,7 @@ def _fuzzy_kernel(
 def _fuzzy_decide_kernel(
     q_enc, q_len, q_ts, q_ts_len,      # (R, TL) bucket-sliced query arrays
     t_enc, t_len, t_ts, t_ts_len,      # truth-side device arrays (resident)
+    t_wlen_max,                        # int32[n_truth] max word length/title
     cand,                              # (R_all, K) int32 device-resident top-k
     rows,                              # (R,) int32 rows of ``cand`` to process
     *, tl: int, threshold: int, chunk: int,
@@ -71,8 +72,14 @@ def _fuzzy_decide_kernel(
     fallback (predict.py:147-156) → keep ratio>threshold, per-row max, tied
     distinct maxima drop the row to stage 3 (predict.py:172-181).
     Returns (matched bool[R], best_pos int32[R] — truth position of the best
-    candidate, best_ratio int32[R], overflow bool[R]).  Rows are processed in
-    ``chunk``-sized slices under lax.scan — ONE device program regardless of R.
+    candidate, best_ratio int32[R], overflow bool[R], probe_tl int32[R],
+    probe_wl int32[R]).  The probe — max candidate title/word length per
+    row, consumed by the stage-3 bucket decision — rides here because this
+    kernel already gathers every candidate's length: fused into the
+    RETRIEVAL program it cost ~0.4 s of the 100k-row bench's retrieval
+    stage (r5 lab_folded measurements: prod 2.39 s vs noprobe 2.00 s).
+    Rows are processed in ``chunk``-sized slices under lax.scan — ONE
+    device program regardless of R.
     """
     K = cand.shape[1]
     R = rows.shape[0]
@@ -86,6 +93,8 @@ def _fuzzy_decide_kernel(
         tle = t_len[pos]
         tts = t_ts[pos][:, :tl]
         ttsl = t_ts_len[pos]
+        probe_tl = tle.reshape(C, K).max(axis=1)
+        probe_wl = t_wlen_max[pos].reshape(C, K).max(axis=1)
 
         ql_r = jnp.repeat(ql, K)
         tot = ql_r + tle
@@ -118,16 +127,15 @@ def _fuzzy_decide_kernel(
         # the tile is derived from the threshold; real under fuzzy_tile_cap.
         too_long = jnp.maximum(jnp.maximum(tle, ttsl), ql_r) > tl
         over = (consider & too_long).reshape(C, K).any(axis=1)
-        return None, (matched, best_pos, mx, over)
+        return None, (matched, best_pos, mx, over, probe_tl, probe_wl)
 
     n_chunks = R // chunk
     xs = tuple(
         x.reshape((n_chunks, chunk) + x.shape[1:])
         for x in (q_enc, q_len, q_ts, q_ts_len, rows)
     )
-    _, (matched, best_pos, best_ratio, over) = jax.lax.scan(step, None, xs)
-    return (matched.reshape(-1), best_pos.reshape(-1), best_ratio.reshape(-1),
-            over.reshape(-1))
+    _, outs = jax.lax.scan(step, None, xs)
+    return tuple(o.reshape(-1) for o in outs)
 
 
 class FuzzyEngine:
@@ -139,6 +147,7 @@ class FuzzyEngine:
         ts_truth_enc: np.ndarray, ts_truth_len: np.ndarray,
         config: Optional[Config] = None,
         mesh=None,
+        truth_wlen_max: Optional[np.ndarray] = None,
     ):
         self.cfg = config or get_config()
         self.mesh = mesh
@@ -153,6 +162,11 @@ class FuzzyEngine:
         self.t_len = put(truth_len.astype(np.int32))
         self.t_ts = put(ts_truth_enc)
         self.t_ts_len = put(ts_truth_len.astype(np.int32))
+        # max word length per title, for the stage-3 bucket probe that the
+        # decide kernel piggy-backs on its candidate gathers
+        if truth_wlen_max is None:
+            truth_wlen_max = np.zeros(len(truth_len), np.int32)
+        self.t_wlen_max = put(truth_wlen_max.astype(np.int32))
 
     def decide(
         self,
@@ -165,7 +179,7 @@ class FuzzyEngine:
         """Device decisions for a bucket of rows (see _fuzzy_decide_kernel).
         Returns host (matched, best_pos, best_ratio, overflow) trimmed to R."""
         R = len(rows)
-        matched, best_pos, best_ratio, over = self.decide_device(
+        matched, best_pos, best_ratio, over, _ptl, _pwl = self.decide_device(
             q_enc, q_len, ts_q_enc, ts_q_len, cand_d, rows, tl
         )
         return (np.asarray(matched)[:R], np.asarray(best_pos)[:R],
@@ -212,8 +226,8 @@ class FuzzyEngine:
                 ),
                 mesh=self.mesh,
                 in_specs=(P(axis), P(axis), P(axis), P(axis),
-                          P(), P(), P(), P(), P(), P(axis)),
-                out_specs=(P(axis), P(axis), P(axis), P(axis)),
+                          P(), P(), P(), P(), P(), P(), P(axis)),
+                out_specs=(P(axis),) * 6,
                 check_vma=False,
             ))
             from jax.sharding import NamedSharding
@@ -231,6 +245,7 @@ class FuzzyEngine:
             pad(q_enc, tl), pad(q_len.astype(np.int32)),
             pad(ts_q_enc, tl), pad(ts_q_len.astype(np.int32)),
             self.t_enc, self.t_len, self.t_ts, self.t_ts_len,
+            self.t_wlen_max,
             cand_d, pad(rows.astype(np.int32)),
         )
 

@@ -92,19 +92,17 @@ def _jit_helpers():
     def reshape_cand(pos):
         return pos.reshape(-1, pos.shape[-1])
 
-    @jax.jit
-    def pack_fuzzy(tlw, matched, best_pos, best_ratio, over):
-        n = tlw.shape[0] * tlw.shape[2]
-        probe = jnp.transpose(tlw, (1, 0, 2)).reshape(2, n)
-        return jnp.concatenate([
-            probe,
-            jnp.stack([
-                matched[:n].astype(jnp.int32), best_pos[:n].astype(jnp.int32),
-                best_ratio[:n].astype(jnp.int32), over[:n].astype(jnp.int32),
-            ]),
-        ], axis=0)
-
     from functools import partial as _partial
+
+    @_partial(jax.jit, static_argnames=("n",))
+    def pack_fuzzy(matched, best_pos, best_ratio, over, ptl, pwl, *, n):
+        # row order consumed by the cascade's barrier-1 reader:
+        # probe_tl, probe_wl, matched, best_pos, best_ratio, over
+        return jnp.stack([
+            ptl[:n].astype(jnp.int32), pwl[:n].astype(jnp.int32),
+            matched[:n].astype(jnp.int32), best_pos[:n].astype(jnp.int32),
+            best_ratio[:n].astype(jnp.int32), over[:n].astype(jnp.int32),
+        ])
 
     @_partial(jax.jit, static_argnames=("n",))
     def pack_model(n_at_max, best_pos, pred, *, n):
@@ -300,9 +298,11 @@ class Matcher:
             from doppelspeller_tpu.ops.fuzzy import FuzzyEngine
 
             ts_enc, ts_len = self.ts_truth
+            _, wlen, _ = self.truth_words
             self._fuzzy = FuzzyEngine(
                 self.truth.encoded, self.truth.lengths, ts_enc, ts_len, self.cfg,
                 mesh=self.mesh,
+                truth_wlen_max=wlen.max(axis=1).astype(np.int32),
             )
         return self._fuzzy
 
@@ -504,8 +504,8 @@ class Matcher:
         """Stages 2+3 on device against HBM-resident candidates.
 
         Dispatch plan (all async; two fetch barriers total):
-          1. retrieval groups (probe fused) → (G, QB, k) pos per group
-          2. fuzzy decide per group at its static title-length bucket
+          1. retrieval groups → (G, QB, k) pos per group
+          2. fuzzy decide per group (stage-3 bucket probe fused here)
           3. fetch packed probe+fuzzy results (one per group)
           4. rerank decide on still-unmatched rows in fixed-size slabs
           5. fetch packed model results (one per slab)
@@ -538,9 +538,11 @@ class Matcher:
         rem = rem[np.lexsort((titles[rem], fzb))]
 
         t0 = _time.time()
-        pending, _plans = self.scorer.topk_device(
-            queries, k=k, rows=rem, probe_tables=self._probe_tables()
-        )
+        # the stage-3 bucket probe rides the FUZZY decide (which gathers
+        # every candidate's length anyway) — fused into the retrieval
+        # program it cost ~0.4 s/rep at bench scale (r5 lab: 2.39 s vs
+        # 2.00 s retrieval with/without the fused probe)
+        pending, _plans = self.scorer.topk_device(queries, k=k, rows=rem)
 
         # fuzzy host prep AFTER the retrieval dispatch so the single
         # host thread works while the device scores (~1 s for 100k titles
@@ -554,7 +556,7 @@ class Matcher:
 
         # slot bookkeeping: slot = group offset + block slot · QB + row index
         slot_rows = []          # per group: int64[G·QB] rem-row ids (−1 pad)
-        for chunk, vals, pos, tlw in pending:
+        for chunk, vals, pos in pending:
             G, QB, _ = pos.shape
             rows_g = np.full(G * QB, -1, dtype=np.int64)
             for s, plan in enumerate(chunk):
@@ -571,7 +573,7 @@ class Matcher:
         res.stage_seconds["retrieval"] = t_retr - t0
 
         fuzzy_pend = []
-        for (chunk, vals, pos, tlw), rows_g in zip(pending, slot_rows):
+        for (chunk, vals, pos), rows_g in zip(pending, slot_rows):
             n = len(rows_g)
             valid = rows_g >= 0
             tl_g = int(need_all[rows_g[valid]].max(initial=1))
@@ -599,7 +601,7 @@ class Matcher:
                 q_enc_g, q_len_g, ts_enc_g, ts_len_g,
                 cand_g, np.arange(n, dtype=np.int64), TL,
             )
-            fuzzy_pend.append((rows_g, cand_g, pack_fuzzy(tlw, *out)))
+            fuzzy_pend.append((rows_g, cand_g, pack_fuzzy(*out, n=n)))
 
         # ---- fetch barrier 1: probe + fuzzy results -----------------------
         # ONE batched fetch for all groups: device_get starts every

@@ -60,10 +60,19 @@ def main():
     nt = jnp.int32(NTP - 7)
 
     def timed(fn, ops, label):
+        """Time REPS scan iterations of ``fn(bump, *ops)``.
+
+        ``bump`` is an int32 scalar that is always 0 but DATA-DEPENDENT on
+        the scan carry — every piece must fold it into an operand, or XLA
+        hoists the loop-invariant computation out of the scan and the
+        measurement collapses to scan overhead (this bit r5: the original
+        harness read 1.2 ms/block while the production stage measured
+        ~2.9 ms/block end-to-end)."""
         @jax.jit
         def run(*ops):
             def step(c, i):
-                out = fn(i, *ops)
+                bump = jnp.where(c == jnp.float32(np.inf), 1, 0)  # always 0
+                out = fn(bump, *ops)
                 s = sum(jnp.sum(o.reshape(-1)[:2].astype(jnp.float32))
                         for o in jax.tree_util.tree_leaves(out))
                 return c + s, None
@@ -77,12 +86,13 @@ def main():
         return dt
 
     # 1a. weight fold, scatter-add (production)
-    def wf_scatter(i, ids, idf_ext, fold_ext):
-        return _coarse_weights(ids + i * 0, idf_ext, fold_ext, C, jnp.bfloat16)
+    def wf_scatter(bump, ids, idf_ext, fold_ext):
+        return _coarse_weights(ids + bump, idf_ext, fold_ext, C, jnp.bfloat16)
     t_wf = timed(wf_scatter, (ids, idf_ext, fold_ext), "weight fold (scatter)")
 
     # 1b. one-hot-sum variant
-    def wf_onehot(i, ids, idf_ext, fold_ext):
+    def wf_onehot(bump, ids, idf_ext, fold_ext):
+        ids = ids + bump
         w_val = idf_ext[ids]
         fpos = fold_ext[ids]
         oh = (fpos[:, :, None] == jnp.arange(C, dtype=jnp.int32)).astype(
@@ -95,32 +105,34 @@ def main():
     wfold, w_val, maxint = jax.block_until_ready((wfold, w_val, maxint))
 
     # 2. coarse + windowed select at k'
-    def coarse(i, mc, sums_perm, wfold, maxint, nt):
+    def coarse(bump, mc, sums_perm, wfold, maxint, nt):
         return jaccard_topk_pallas_v2(
-            mc, sums_perm, wfold, maxint, None, nt, k=KP, tb=TB, uc=C,
+            mc, sums_perm, wfold + bump.astype(wfold.dtype), maxint, None,
+            nt, k=KP, tb=TB, uc=C,
             score_dtype="bfloat16", recall_target=0.99, window_select=True)
     t_coarse = timed(coarse, (mc, sums_perm, wfold, maxint, nt),
                      f"coarse+select k'={KP}")
-    vals_c, pos_c = coarse(0, mc, sums_perm, wfold, maxint, nt)
+    vals_c, pos_c = coarse(jnp.int32(0), mc, sums_perm, wfold, maxint, nt)
     vals_c, pos_c = jax.block_until_ready((vals_c, pos_c))
 
     # 3. TL gather
-    def g32(i, tl, pos):
-        return tl[pos]
+    def g32(bump, tl, pos):
+        return tl[pos + bump]
     t_g32 = timed(g32, (tl32, pos_c), "TL gather int32")
     t_g16 = timed(g32, (tl16, pos_c), "TL gather uint16")
 
     # 4. rescore compute (gather + LQ loop + topk)
-    def resc(i, tl, sums, ids, w_val, maxint, vals_c, pos_c, nt):
-        return _rescore_exact(tl, sums, ids, w_val, maxint, vals_c, pos_c,
-                              nt, K)
+    def resc(bump, tl, sums, ids, w_val, maxint, vals_c, pos_c, nt):
+        return _rescore_exact(tl, sums, ids, w_val, maxint, vals_c,
+                              pos_c + bump, nt, K)
     t_re32 = timed(resc, (tl32, sums, ids, w_val, maxint, vals_c, pos_c, nt),
                    "rescore (int32 TL)")
     t_re16 = timed(resc, (tl16, sums, ids, w_val, maxint, vals_c, pos_c, nt),
                    "rescore (uint16 TL)")
 
     # 5. full folded step
-    def full(i, mc, sums_perm, sums, tl, ids, idf_ext, fb_ext, fold_ext, nt):
+    def full(bump, mc, sums_perm, sums, tl, ids, idf_ext, fb_ext, fold_ext, nt):
+        ids = ids + bump
         wfold, w_val = _coarse_weights(ids, idf_ext, fold_ext, C, jnp.bfloat16)
         maxint = fb_ext[ids].sum(axis=1)
         v, p = jaccard_topk_pallas_v2(

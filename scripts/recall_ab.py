@@ -79,6 +79,7 @@ for name, cfg in [
                                     retrieval_window_select=True,
                                     retrieval_mode="exact")),
     ("folded_c512_d128", base.with_(fold_dim=512, rescore_depth=128, **fold)),
+    ("folded_c256_d128", base.with_(fold_dim=256, rescore_depth=128, **fold)),
     ("folded_c512_d64", base.with_(fold_dim=512, rescore_depth=64, **fold)),
     ("folded_c1024_d128", base.with_(fold_dim=1024, rescore_depth=128, **fold)),
     ("folded_c512_d128_nowsel", base.with_(fold_dim=512, rescore_depth=128,
