@@ -96,10 +96,13 @@ class Config:
     # score tile never leaves VMEM; per title tile only per-window
     # (max, argmax) of width tb/16 cross to HBM (~4x less select traffic).
     # Loses only per-window runner-ups — measured at 500k titles
-    # (RECALL_AB.json): recall@100 vs exact-f32 0.995 (BETTER than
-    # approx_max_k over the full matrix, 0.972) and the true match of a
+    # (RECALL_AB.json r5, exact path): recall@100 vs exact-f32 0.995 with
+    # window select vs 0.995 plain approx_max_k, and the true match of a
     # misspelled query is retained exactly as often as under exact
-    # scoring; additionally gated by the bench oracle anchor every run.
+    # scoring (0.99011 both); additionally gated by the bench oracle
+    # anchor every run.  Inside the FOLDED coarse pass the same fused
+    # select applies to upper-bound scores before the exact rescore;
+    # folded retention is measured separately (see retrieval_mode).
     retrieval_window_select: bool = True
     # two-stage folded retrieval (ops/fold.py): "auto" engages it when the
     # scorer has the truth encodings, the pallas backend is active, and the
@@ -109,8 +112,13 @@ class Config:
     # (no per-block row gather, ~2.3x fewer MACs at fold_dim=512), then the
     # top rescore_depth candidates per query are rescored EXACTLY against
     # the per-title trigram lists — only coarse recall@rescore_depth is
-    # approximate (measured ~0.999+ at 500k titles; gated by the bench
-    # oracle anchor).  rescore_depth=0 returns raw coarse top-k.
+    # approximate.  Measured at 500k titles (RECALL_AB.json r5):
+    # true-match retention 0.981 at C=512 vs 0.990 exact (0.984 at
+    # C=1024; identical at depth 64 and 128 — the loss is C-bound, not
+    # depth-bound), top-1 agreement vs exact-f32 0.956 (the exact path's
+    # own approx select sits at 0.961); deep-tail top-100 members
+    # (low-score ties) are not reproduced.  Gated end-to-end by the
+    # bench oracle anchor.  rescore_depth=0 returns raw coarse top-k.
     retrieval_mode: str = "auto"
     fold_dim: int = 512
     rescore_depth: int = 128

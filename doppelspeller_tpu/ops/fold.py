@@ -23,8 +23,15 @@ This module removes both costs (reference capability: match_maker.py:16-50):
   ``TL[ntp, Ltw]`` (device-resident), restoring exact scores and exact
   ordering.  The only approximation left is coarse *recall*: a true
   top-k candidate is lost only if > rescore_depth titles beat its upper
-  bound (measured ≥0.999 recall@100 at C=512/depth=128 on the 500k bench
-  world; additionally gated by the bench oracle anchor every run).
+  bound.  Measured at 500k synthetic titles (RECALL_AB.json, r5): the
+  true match of a misspelled query survives to the rescore for 98.1 %
+  of queries at C=512 (vs 99.0 % under exact scoring; 98.4 % at
+  C=1024), top-1 agreement with exact-f32 0.956, and retention is
+  C-bound, not depth-bound — depth 64 and 128 retain identically.
+  Deep-tail candidates (ranks ~20-100, mostly low-score ties) are NOT
+  reproduced (recall@100 vs exact-f32 ≈ 0.35); the cascade only
+  consumes the head, and the bench oracle anchor gates the end-to-end
+  effect every run.
 
 With ``C`` ≥ the number of observed trigrams the fold map is injective on
 observed ids and the coarse stage IS the exact computation (tests exploit
