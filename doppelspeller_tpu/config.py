@@ -121,7 +121,26 @@ class Config:
     # bench oracle anchor.  rescore_depth=0 returns raw coarse top-k.
     retrieval_mode: str = "auto"
     fold_dim: int = 512
+    # independent df-balanced fold partitions; the coarse numerator is the
+    # elementwise MIN of the per-hash upper bounds (count-min sketch — each
+    # is a monotone upper bound, their min is a tighter one, so coarse
+    # recall rises at the cost of one extra resident Mc + matmul per hash).
+    # Measured at 500k titles (scripts/lab_fold_recall.py): true-match
+    # coarse retention@128 0.978 (1 hash) → 0.991 (2 hashes) = parity with
+    # exact scoring's 0.990 top-100 retention.  Pallas path only; the XLA
+    # fallback runs the first hash.
+    fold_hashes: int = 2
     rescore_depth: int = 128
+    # approx_max_k per-candidate recall target for the FOLDED coarse
+    # select only (0 → inherit topk_recall_target).  The coarse top-k' is
+    # a candidate funnel feeding an exact rescore, not a final ranking, so
+    # it tolerates a laxer select than the exact path: 0.95 measured
+    # retrieval 2.50 s → 1.81 s at 100k×500k with fold_hashes=2
+    # (scripts/lab_folded_r5.py h2 vs h2r95) — approx_max_k's cost is
+    # strongly recall-target-dependent, and losses concentrate at the k'
+    # boundary where candidates are junk-tail anyway (true-match retention
+    # gated by RECALL_AB.json + the bench oracle anchor).
+    fold_recall_target: float = 0.95
     folded_min_titles: int = 200_000
     # query-block size for the FOLDED path only (0 → query_block).  The
     # exact path keeps QB small because its contraction is the per-block
@@ -130,6 +149,13 @@ class Config:
     # per-block fixed costs (scan-step overhead, rescore setup, select
     # windows) with no extra MACs.
     fold_query_block: int = 0
+    # select-window width W inside the FOLDED coarse pass (0 → the fused
+    # selector's default tb//128 = 16 at tb=2048, which is also the MAX:
+    # the selector's out-block lane width tb//W must stay >= 128, so W
+    # can only be narrowed below the default, which only increases select
+    # traffic — measured dead end, keep 0).  The exact path keeps the
+    # default W.
+    fold_select_window: int = 0
     # index construction: "auto" → on-device build on TPU (ships ~48 MB of
     # encoded titles instead of the ~3.2 GB packed matrix at 500k titles),
     # host numpy/C++ elsewhere; "host" / "device" force a path

@@ -57,7 +57,7 @@ LOGGER = logging.getLogger(__name__)
 V = TRIGRAM_VOCAB_SIZE
 
 
-def build_fold_map(df: np.ndarray, fold_dim: int) -> np.ndarray:
+def build_fold_map(df: np.ndarray, fold_dim: int, seed: int = 0) -> np.ndarray:
     """int32[V+1] trigram id → bucket in [0, fold_dim); slot V (the invalid
     sentinel) → fold_dim.
 
@@ -68,18 +68,31 @@ def build_fold_map(df: np.ndarray, fold_dim: int) -> np.ndarray:
     gets its own bucket (the map is injective → coarse == exact).
     Unobserved ids carry zero scoring weight and zero occupancy; they are
     round-robined for determinism only.
+
+    ``seed`` > 0 jitters the greedy order (multiplicative df noise) to
+    produce an INDEPENDENT partition with the same balance property — the
+    two-hash count-min bound (fold_hashes=2) needs partitions whose
+    collisions are uncorrelated.  Seeded runs are deterministic.
     """
     fold = np.empty(V + 1, dtype=np.int32)
     fold[V] = fold_dim
-    order = np.argsort(-df.astype(np.int64), kind="stable")
+    if seed == 0:
+        key = -df.astype(np.float64)
+    else:
+        r = np.random.default_rng(seed)
+        key = -(df.astype(np.float64) * r.uniform(0.5, 2.0, V))
+    order = np.argsort(key, kind="stable")
     heap = [(0, c) for c in range(fold_dim)]  # already a valid heap
     observed = int((df > 0).sum())
-    for g in order[:observed]:
+    obs_mask = df > 0
+    obs_in_order = order[obs_mask[order]]
+    rest = order[~obs_mask[order]]
+    assert len(obs_in_order) == observed
+    for g in obs_in_order:
         load, c = heapq.heappop(heap)
         fold[g] = c
         heapq.heappush(heap, (load + int(df[g]), c))
     if observed < V:
-        rest = order[observed:]
         fold[rest] = np.arange(len(rest), dtype=np.int64) % fold_dim
     return fold
 
@@ -307,6 +320,7 @@ def _folded_multiblock_impl(
     mc, sums, sums_perm, tl_mat, idf_ext, fb_ext, fold_ext, buf, nt,
     t_len, t_wlen, *, C, qb, lq, k, kprime, tb, uc, score_dtype,
     recall_target, impl, title_block, interpret, probe, window_select,
+    select_window, folds,
 ):
     """Score G folded query blocks in ONE device program (lax.scan).
 
@@ -326,10 +340,27 @@ def _folded_multiblock_impl(
     # bytes of an int32 buffer; widen once on device
     flat = buf.reshape(G, qb, lq).astype(jnp.int32)
     rescore = tl_mat is not None
+    # fold the WHOLE group's weights in one scatter before the scan: one
+    # (G·QB, C) scatter-add beats G per-block scatters (the per-block
+    # scatter measured ~1.1 ms isolated, ROOFLINE.json folded section) and
+    # takes the idf/fold gathers out of the hot per-block program.
+    # With fold_hashes > 1, ``fold_ext`` is (folds, V+1) and the per-hash
+    # weight blocks are concatenated along C to match the stacked ``mc``.
+    ids_flat = flat.reshape(G * qb, lq)
+    fold_ext2 = fold_ext.reshape(folds, -1)
+    parts = []
+    for f in range(folds):
+        wf, wval_all = _coarse_weights(ids_flat, idf_ext, fold_ext2[f],
+                                       C, dtype)
+        parts.append(wf)
+    wfold_all = parts[0] if folds == 1 else jnp.concatenate(parts, axis=1)
+    maxint_all = fb_ext[ids_flat].sum(axis=1)
+    wfold_all = wfold_all.reshape(G, qb, folds * C)
+    wval_all = wval_all.reshape(G, qb, lq)
+    maxint_all = maxint_all.reshape(G, qb)
 
-    def step(_, ids):
-        wfold, w_val = _coarse_weights(ids, idf_ext, fold_ext, C, dtype)
-        maxint = fb_ext[ids].sum(axis=1)
+    def step(_, blk):
+        ids, wfold, w_val, maxint = blk
         if impl == "pallas":
             from doppelspeller_tpu.ops.jaccard_pallas import (
                 jaccard_topk_pallas_v2,
@@ -340,11 +371,16 @@ def _folded_multiblock_impl(
                 k=kprime, tb=tb, uc=uc, score_dtype=score_dtype,
                 recall_target=recall_target, interpret=interpret,
                 window_select=window_select,
+                select_window=select_window,
+                folds=folds,
             )
         else:
+            # the XLA fallback scorer has no min-accumulation; run the
+            # FIRST hash only (still a valid upper bound, single-hash
+            # recall).  Production folded retrieval is the pallas path.
             vals_c, pos_c = topk_over_blocks(
-                mc, sums, wfold.astype(jnp.float32), maxint, jnp.int32(0),
-                nt, k=kprime, title_block=title_block,
+                mc[:C], sums, wfold[:, :C].astype(jnp.float32), maxint,
+                jnp.int32(0), nt, k=kprime, title_block=title_block,
                 score_dtype=score_dtype,
             )
         if rescore:
@@ -359,7 +395,7 @@ def _folded_multiblock_impl(
             return None, (vals, pos, jnp.stack([tl, wl], axis=0))
         return None, (vals, pos)
 
-    _, out = jax.lax.scan(step, None, flat)
+    _, out = jax.lax.scan(step, None, (flat, wfold_all, wval_all, maxint_all))
     return out
 
 
@@ -376,7 +412,7 @@ def folded_multiblock(*args, **kwargs):
             jax.jit, static_argnames=(
                 "C", "qb", "lq", "k", "kprime", "tb", "uc", "score_dtype",
                 "recall_target", "impl", "title_block", "interpret", "probe",
-                "window_select",
+                "window_select", "select_window", "folds",
             ),
         )(_folded_multiblock_impl)
     return _folded_multiblock(*args, **kwargs)
@@ -398,12 +434,17 @@ class FoldedEngine:
         self.cfg = cfg
         self.C = int(getattr(cfg, "fold_dim", 512))
         self.kprime = int(getattr(cfg, "rescore_depth", 128))
+        # the multi-hash min bound lives in the pallas kernel only; the
+        # XLA fallback scorer runs the first hash (see _folded_multiblock)
+        self.folds = max(1, int(getattr(cfg, "fold_hashes", 1)))
         ntp = index.padded_titles
-        fold = build_fold_map(index.df, self.C)
-        self.mc_d = build_folded_matrix(
-            truth.encoded, truth.lengths, fold, self.C, ntp, device=device,
-        )
-        self.fold_ext_d = jax.device_put(fold, device)
+        folds_np = [build_fold_map(index.df, self.C, seed=f)
+                    for f in range(self.folds)]
+        mcs = [build_folded_matrix(
+            truth.encoded, truth.lengths, fm, self.C, ntp, device=device,
+        ) for fm in folds_np]
+        self.mc_d = mcs[0] if self.folds == 1 else jnp.concatenate(mcs, axis=0)
+        self.fold_ext_d = jax.device_put(np.stack(folds_np), device)
         if self.kprime > 0:
             self.tl_d, self.ltw = build_trigram_list_matrix(
                 truth.encoded, truth.lengths, ntp, device=device,
@@ -423,8 +464,10 @@ class FoldedEngine:
         self.pallas_tb = pallas_tb
         self.nt_d = jnp.int32(index.num_titles)
         LOGGER.info(
-            "[FoldedEngine] C=%d kprime=%d ltw=%d: Mc %.1f MB, TL %.1f MB",
-            self.C, self.kprime, self.ltw, self.mc_d.nbytes / 1e6,
+            "[FoldedEngine] C=%d hashes=%d kprime=%d ltw=%d: Mc %.1f MB, "
+            "TL %.1f MB",
+            self.C, self.folds, self.kprime, self.ltw,
+            self.mc_d.nbytes / 1e6,
             (self.tl_d.nbytes / 1e6) if self.tl_d is not None else 0.0,
         )
 
@@ -447,11 +490,15 @@ class FoldedEngine:
             tb=self.pallas_tb,
             uc=min(int(getattr(cfg, "pallas_union_chunk", 512)), self.C),
             score_dtype=getattr(cfg, "score_dtype", "float32"),
-            recall_target=float(getattr(cfg, "topk_recall_target", 1.0)),
+            recall_target=float(
+                getattr(cfg, "fold_recall_target", 0.0)
+                or getattr(cfg, "topk_recall_target", 1.0)),
             impl="pallas" if impl.startswith("pallas") else "xla",
             title_block=cfg.title_block,
             interpret=(impl == "pallas_interpret"),
             probe=probe,
             window_select=bool(getattr(cfg, "retrieval_window_select", False)),
+            select_window=int(getattr(cfg, "fold_select_window", 0)),
+            folds=self.folds,
         )
         return (chunk,) + tuple(out)

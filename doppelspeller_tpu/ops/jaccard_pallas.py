@@ -177,16 +177,19 @@ def _score_kernel(
         out_ref[:, :] = jnp.where(tpos < nt, jacc, -1.0)
 
 
-def _unpack_mm_chunk(w_ref, rows_ref, uc, score_dtype, j, acc):
+def _unpack_mm_chunk(w_ref, rows_ref, uc, score_dtype, j, acc, base: int = 0):
     """One union chunk of the scoring matmul, byte-slice formulation.
 
     In the π layout, bit s of byte column b is title column s·nb + b — a
     CONTIGUOUS slice — so the unpack is 8 constant-shift mask-compares on
     the (uc, TB/8) byte block feeding 8 narrow MXU matmuls.  ~20% faster
     than repeat+per-lane-variable-shift and far lighter on VMEM (no
-    (uc, TB) i32 materialization), measured on v5e at U=2048."""
-    rows_c = rows_ref[pl.ds(j * uc, uc), :].astype(jnp.int32)   # (uc, TB//8)
-    wc = w_ref[:, pl.ds(j * uc, uc)]                            # (QB, uc)
+    (uc, TB) i32 materialization), measured on v5e at U=2048.
+
+    ``base`` offsets both slices — the two-hash folded accumulation runs
+    this over each half of a stacked [Mc1; Mc2] row matrix."""
+    rows_c = rows_ref[pl.ds(base + j * uc, uc), :].astype(jnp.int32)
+    wc = w_ref[:, pl.ds(base + j * uc, uc)]                     # (QB, uc)
     # with f32 weights force true-f32 MXU passes: the DEFAULT precision
     # multiplies in bf16 even for f32 inputs, a ~1e-3 relative score error
     # the "exact" oracle config must not carry
@@ -213,7 +216,7 @@ def _score_kernel_v2(
     out_ref,      # (QB, TB) jaccard scores (π-permuted; out dtype = bf16
                   #   when scoring in bf16 — halves the HBM traffic the
                   #   top-k selector then has to read back)
-    *, score_dtype, uc,
+    *, score_dtype, uc, folds=1,
 ):
     """One grid step per title tile; the union axis is an inner fori_loop
     (the v1 kernel used a second grid axis — 8192 grid steps per block whose
@@ -222,19 +225,39 @@ def _score_kernel_v2(
     TB = out_ref.shape[1]
     nb = TB // 8
     tile = pl.program_id(0)
-    U = w_ref.shape[1]
 
     col = jax.lax.broadcasted_iota(jnp.int32, (1, TB), 1)
 
-    acc = jax.lax.fori_loop(
-        0, U // uc, partial(_unpack_mm_chunk, w_ref, rows_ref, uc, score_dtype),
-        jnp.zeros((QB, TB), jnp.float32),
-    )
+    acc = _accumulate_numerator(w_ref, rows_ref, uc, score_dtype, QB, TB, folds)
     nt = nt_ref[0, 0]
     denom = sums_ref[:] + maxint_ref[:] - acc
     jacc = acc / jnp.maximum(denom, 1e-9)
     tpos = tile * TB + 8 * (col % nb) + col // nb
     out_ref[:, :] = jnp.where(tpos < nt, jacc, -1.0).astype(out_ref.dtype)
+
+
+def _accumulate_numerator(w_ref, rows_ref, uc, score_dtype, QB, TB, folds):
+    """Numerator accumulation over the union axis; with ``folds`` > 1 the
+    row matrix is ``folds`` stacked independent folded matrices and the
+    result is the elementwise MIN of the per-fold numerators — each is a
+    monotone upper bound of the exact IDF intersection, so their min is a
+    tighter upper bound (count-min sketch; retention 0.978 → 0.991 at
+    C=512/depth=128, scripts/lab_fold_recall.py)."""
+    U = w_ref.shape[1]
+    H = U // folds
+    acc = jax.lax.fori_loop(
+        0, H // uc, partial(_unpack_mm_chunk, w_ref, rows_ref, uc, score_dtype),
+        jnp.zeros((QB, TB), jnp.float32),
+    )
+    for f in range(1, folds):
+        a2 = jax.lax.fori_loop(
+            0, H // uc,
+            partial(_unpack_mm_chunk, w_ref, rows_ref, uc, score_dtype,
+                    base=f * H),
+            jnp.zeros((QB, TB), jnp.float32),
+        )
+        acc = jnp.minimum(acc, a2)
+    return acc
 
 
 def _score_kernel_v3(
@@ -245,7 +268,7 @@ def _score_kernel_v3(
     nt_ref,       # (1, 1) i32 in SMEM
     wmax_ref,     # (QB, TB//W) f32 — per-window max score
     warg_ref,     # (QB, TB//W) i32 — argmax offset o ∈ [0, W) within window
-    *, score_dtype, uc, W,
+    *, score_dtype, uc, W, folds=1,
 ):
     """v2 scoring fused with windowed top-k PRE-selection.
 
@@ -260,14 +283,10 @@ def _score_kernel_v3(
     S = TB // W
     nb = TB // 8
     tile = pl.program_id(0)
-    U = w_ref.shape[1]
 
     col = jax.lax.broadcasted_iota(jnp.int32, (1, TB), 1)
 
-    acc = jax.lax.fori_loop(
-        0, U // uc, partial(_unpack_mm_chunk, w_ref, rows_ref, uc, score_dtype),
-        jnp.zeros((QB, TB), jnp.float32),
-    )
+    acc = _accumulate_numerator(w_ref, rows_ref, uc, score_dtype, QB, TB, folds)
     nt = nt_ref[0, 0]
     denom = sums_ref[:] + maxint_ref[:] - acc
     jacc = acc / jnp.maximum(denom, 1e-9)
@@ -317,7 +336,8 @@ def select_topk_windowed(wmax, warg, k: int, tb: int, W: int,
 
 
 @partial(jax.jit, static_argnames=("k", "tb", "uc", "score_dtype", "interpret",
-                                   "recall_target", "window_select"))
+                                   "recall_target", "window_select",
+                                   "select_window", "folds"))
 def jaccard_topk_pallas_v2(
     packed: jnp.ndarray,      # uint8[V, ntp//8]
     sums_perm: jnp.ndarray,   # float32[ntp] — π-permuted
@@ -333,6 +353,9 @@ def jaccard_topk_pallas_v2(
     interpret: bool = False,
     recall_target: float = 1.0,
     window_select: bool = False,
+    select_window: int = 0,   # 0 → tb//128 (=16 at tb=2048)
+    folds: int = 1,           # >1: rows = stacked folded matrices, score =
+                              #   min of per-fold upper bounds (ops/fold.py)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused retrieval step (v2 tiling).  Returns (f32[QB, k], i32[QB, k])."""
     dtype = jnp.dtype(score_dtype)
@@ -348,11 +371,12 @@ def jaccard_topk_pallas_v2(
             rows = gather_rows_pallas(packed, union_ids, interpret=interpret)
         else:
             rows = packed[union_ids]                      # (U, ntp//8)
-    # largest divisor of U that fits the requested chunk: fewer fori steps
-    # amortize the per-chunk weight slice (uc=U measured ~20% faster than
-    # uc=U/2 at U=2048) while bounding the VMEM live set for big unions
-    uc = min(uc, U)
-    while U % uc:
+    # largest divisor of U (per fold half) that fits the requested chunk:
+    # fewer fori steps amortize the per-chunk weight slice (uc=U measured
+    # ~20% faster than uc=U/2 at U=2048) while bounding the VMEM live set
+    assert U % folds == 0, (U, folds)
+    uc = min(uc, U // folds)
+    while (U // folds) % uc:
         uc -= 1
     ntp = rows.shape[1] * 8
     if ntp % tb:
@@ -362,10 +386,11 @@ def jaccard_topk_pallas_v2(
     if window_select:
         # fused selection: the score tile never leaves VMEM; per title tile
         # only (wmax f32, warg i32) of width tb/W cross to HBM
-        W = max(tb // 128, 1)
+        W = select_window or max(tb // 128, 1)
         S = tb // W
         wmax, warg = pl.pallas_call(
-            partial(_score_kernel_v3, score_dtype=dtype, uc=uc, W=W),
+            partial(_score_kernel_v3, score_dtype=dtype, uc=uc, W=W,
+                    folds=folds),
             grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec((QB, U), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -400,7 +425,7 @@ def jaccard_topk_pallas_v2(
     # bench oracle anchor gates end-to-end accuracy vs exact f32)
     out_dtype = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
     jacc = pl.pallas_call(
-        partial(_score_kernel_v2, score_dtype=dtype, uc=uc),
+        partial(_score_kernel_v2, score_dtype=dtype, uc=uc, folds=folds),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((QB, U), lambda i: (0, 0), memory_space=pltpu.VMEM),

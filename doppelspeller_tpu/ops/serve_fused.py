@@ -54,8 +54,8 @@ def _fused_cascade_impl(
     # per-request query arrays
     q_enc, q_len, q_ts, q_ts_len, q_wo, q_wo_len,
     *, mode, u, qb, lq, k, C, kprime, tb, uc, score_dtype, recall_target,
-    impl, title_block, interpret, window_select, tlf, tlr, wl, depth,
-    window_impl, thr_ratio,
+    impl, title_block, interpret, window_select, select_window, folds,
+    tlf, tlr, wl, depth, window_impl, thr_ratio,
 ):
     import jax
     import jax.numpy as jnp
@@ -71,7 +71,12 @@ def _fused_cascade_impl(
         from doppelspeller_tpu.ops.fold import _coarse_weights, _rescore_exact
 
         ids = buf.reshape(qb, lq)
-        wfold, w_val = _coarse_weights(ids, idf_t, fold_t, C, dtype)
+        fold2 = fold_t.reshape(folds, -1)
+        wparts = []
+        for f in range(folds):
+            wf, w_val = _coarse_weights(ids, idf_t, fold2[f], C, dtype)
+            wparts.append(wf)
+        wfold = wparts[0] if folds == 1 else jnp.concatenate(wparts, axis=1)
         maxint = fb_t[ids].sum(axis=1)
         if impl == "pallas":
             from doppelspeller_tpu.ops.jaccard_pallas import (
@@ -82,11 +87,14 @@ def _fused_cascade_impl(
                 ret0, sums_perm, wfold, maxint, None, nt_i,
                 k=kprime, tb=tb, uc=uc, score_dtype=score_dtype,
                 recall_target=recall_target, interpret=interpret,
-                window_select=window_select,
+                window_select=window_select, select_window=select_window,
+                folds=folds,
             )
         else:
+            # XLA fallback: first hash only (see ops/fold.py)
             vals_c, pos_c = topk_over_blocks(
-                ret0, sums, wfold.astype(jnp.float32), maxint, jnp.int32(0),
+                ret0[:C], sums, wfold[:, :C].astype(jnp.float32),
+                maxint, jnp.int32(0),
                 nt_i, k=kprime, title_block=title_block,
                 score_dtype=score_dtype,
             )
@@ -206,8 +214,8 @@ def fused_cascade(*args, **kwargs):
             jax.jit, static_argnames=(
                 "mode", "u", "qb", "lq", "k", "C", "kprime", "tb", "uc",
                 "score_dtype", "recall_target", "impl", "title_block",
-                "interpret", "window_select", "tlf", "tlr", "wl", "depth",
-                "window_impl", "thr_ratio",
+                "interpret", "window_select", "select_window", "folds",
+                "tlf", "tlr", "wl", "depth", "window_impl", "thr_ratio",
             ),
         )(_fused_cascade_impl)
     return _fused_cascade(*args, **kwargs)
@@ -275,7 +283,8 @@ class FusedServe:
                 mode="folded", u=0, qb=qb, lq=lq, C=st.C, kprime=kprime,
                 tb=st.pallas_tb,
                 uc=min(int(getattr(cfg, "pallas_union_chunk", 512)), st.C),
-                impl=impl, interpret=interpret,
+                impl=impl, interpret=interpret, folds=st.folds,
+                select_window=int(getattr(cfg, "fold_select_window", 0)),
             )
             return state, buf, statics, p
         from doppelspeller_tpu.ops.ngram_index import plan_query_blocks
@@ -294,7 +303,7 @@ class FusedServe:
             mode="exact", u=u, qb=qb, lq=lq, C=0, kprime=self.k,
             tb=sc._pallas_tb,
             uc=min(int(getattr(cfg, "pallas_union_chunk", 512)), max(u, 1)),
-            impl=impl, interpret=interpret,
+            impl=impl, interpret=interpret, folds=1, select_window=0,
         )
         return state, buf, statics, p
 
@@ -356,7 +365,10 @@ class FusedServe:
             jnp.asarray(q_wo), jnp.asarray(q_wo_len),
             k=self.k,
             score_dtype=getattr(cfg, "score_dtype", "float32"),
-            recall_target=float(getattr(cfg, "topk_recall_target", 1.0)),
+            recall_target=float(
+                (getattr(cfg, "fold_recall_target", 0.0)
+                 if self.mode == "folded" else 0.0)
+                or getattr(cfg, "topk_recall_target", 1.0)),
             title_block=cfg.title_block,
             window_select=bool(getattr(cfg, "retrieval_window_select", False)),
             tlf=tlf, tlr=tlr, wl=self.wl_default, depth=rk.depth,

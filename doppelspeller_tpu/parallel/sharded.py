@@ -79,9 +79,11 @@ class _MeshFolded:
 
         self.C = int(getattr(cfg, "fold_dim", 512))
         self.kprime = int(getattr(cfg, "rescore_depth", 128))
+        self.folds = max(1, int(getattr(cfg, "fold_hashes", 1)))
         D = mesh.devices.size
         ntp_local = ntp_pad // D
-        fold = build_fold_map(index.df, self.C)
+        folds_np = [build_fold_map(index.df, self.C, seed=f)
+                    for f in range(self.folds)]
         # global trigram-list width: every shard must agree so the per-shard
         # matrices tile into ONE sharded array
         l_eff = int(truth.lengths.max(initial=3)) if len(truth) else 3
@@ -94,16 +96,19 @@ class _MeshFolded:
             lo = i * ntp_local
             enc = truth.encoded[lo : lo + ntp_local]
             lens = truth.lengths[lo : lo + ntp_local]
-            mc_shards.append(build_folded_matrix(
-                enc, lens, fold, self.C, ntp_local, device=dev,
-            ))
+            mcs = [build_folded_matrix(
+                enc, lens, fm, self.C, ntp_local, device=dev,
+            ) for fm in folds_np]
+            mc_shards.append(
+                mcs[0] if self.folds == 1 else jnp.concatenate(mcs, axis=0))
             if self.kprime > 0:
                 tl, _ = build_trigram_list_matrix(
                     enc, lens, ntp_local, device=dev, ltw=self.ltw,
                 )
                 tl_shards.append(tl)
         self.mc_d = jax.make_array_from_single_device_arrays(
-            (self.C, ntp_pad // 8), NamedSharding(mesh, P(None, axis)),
+            (self.folds * self.C, ntp_pad // 8),
+            NamedSharding(mesh, P(None, axis)),
             mc_shards,
         )
         if self.kprime > 0:
@@ -114,7 +119,7 @@ class _MeshFolded:
         else:
             self.tl_d = None
         zero = np.zeros(1, np.float32)
-        self.fold_ext_d = jax.device_put(fold, rep)
+        self.fold_ext_d = jax.device_put(np.stack(folds_np), rep)
         self.idf_ext_d = jax.device_put(
             np.concatenate([index.idf, zero]), rep
         )
@@ -123,10 +128,10 @@ class _MeshFolded:
             np.concatenate([fb.astype(np.float32), zero]), rep
         )
         LOGGER.info(
-            "[_MeshFolded] C=%d kprime=%d ltw=%d on %d devices in %.1fs: "
-            "Mc %.1f MB/shard, TL %.1f MB/shard",
-            self.C, self.kprime, self.ltw, D, _t.time() - t0,
-            self.C * (ntp_local // 8) / 1e6,
+            "[_MeshFolded] C=%d hashes=%d kprime=%d ltw=%d on %d devices in "
+            "%.1fs: Mc %.1f MB/shard, TL %.1f MB/shard",
+            self.C, self.folds, self.kprime, self.ltw, D, _t.time() - t0,
+            self.folds * self.C * (ntp_local // 8) / 1e6,
             (ntp_local * self.ltw * 4 / 1e6) if self.tl_d is not None else 0.0,
         )
 
@@ -501,9 +506,13 @@ class ShardedJaccardScorer:
         tb = self._pallas_tb
         uc = min(int(getattr(self.cfg, "pallas_union_chunk", 512)), C)
         score_dtype = getattr(self.cfg, "score_dtype", "float32")
-        recall_target = getattr(self.cfg, "topk_recall_target", 1.0)
+        recall_target = float(
+            getattr(self.cfg, "fold_recall_target", 0.0)
+            or getattr(self.cfg, "topk_recall_target", 1.0))
         interpret = self.impl == "pallas_interpret"
         window_select = bool(getattr(self.cfg, "retrieval_window_select", False))
+        select_window = int(getattr(self.cfg, "fold_select_window", 0))
+        folds = st.folds
         title_block = self.cfg.title_block
 
         def fn(mc_l, tl_l, sums_l, sums_perm_l, idf_ext, fb_ext, fold_ext,
@@ -519,10 +528,24 @@ class ShardedJaccardScorer:
             nt_local = jnp.clip(nt - offset, 0, ntp_local)
             G = buf.shape[0] // (qb * lq)
             flat = buf.reshape(G, qb, lq).astype(jnp.int32)
+            # group-hoisted weight fold + multi-hash weight blocks
+            # (mirrors fold._folded_multiblock_impl)
+            ids_flat = flat.reshape(G * qb, lq)
+            fold_ext2 = fold_ext.reshape(folds, -1)
+            parts = []
+            for f in range(folds):
+                wf, wval_all = _coarse_weights(ids_flat, idf_ext,
+                                               fold_ext2[f], C, dtype)
+                parts.append(wf)
+            wfold_all = (parts[0] if folds == 1
+                         else jnp.concatenate(parts, axis=1))
+            maxint_all = fb_ext[ids_flat].sum(axis=1)
+            wfold_all = wfold_all.reshape(G, qb, folds * C)
+            wval_all = wval_all.reshape(G, qb, lq)
+            maxint_all = maxint_all.reshape(G, qb)
 
-            def step(_, ids):
-                wfold, w_val = _coarse_weights(ids, idf_ext, fold_ext, C, dtype)
-                maxint = fb_ext[ids].sum(axis=1)
+            def step(_, blk):
+                ids, wfold, w_val, maxint = blk
                 if use_pallas:
                     from doppelspeller_tpu.ops.jaccard_pallas import (
                         jaccard_topk_pallas_v2,
@@ -533,11 +556,13 @@ class ShardedJaccardScorer:
                         k=kprime, tb=tb, uc=uc, score_dtype=score_dtype,
                         recall_target=recall_target, interpret=interpret,
                         window_select=window_select,
+                        select_window=select_window,
+                        folds=folds,
                     )
                 else:
                     vals_c, pos_c = topk_over_blocks(
-                        mc_l, sums_l, wfold.astype(jnp.float32), maxint,
-                        jnp.int32(0), nt_local, k=kprime,
+                        mc_l[:C], sums_l, wfold[:, :C].astype(jnp.float32),
+                        maxint, jnp.int32(0), nt_local, k=kprime,
                         title_block=title_block, score_dtype=score_dtype,
                     )
                 if rescore:
@@ -550,7 +575,8 @@ class ShardedJaccardScorer:
                 pos = pos + offset
                 return None, (vals, pos)
 
-            _, (vals, pos) = jax.lax.scan(step, None, flat)
+            _, (vals, pos) = jax.lax.scan(
+                step, None, (flat, wfold_all, wval_all, maxint_all))
             # merge across shards: ONE all-gather for the whole group
             all_vals = jax.lax.all_gather(vals, axis)      # (D, G, QB, k)
             all_pos = jax.lax.all_gather(pos, axis)

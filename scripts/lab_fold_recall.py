@@ -195,7 +195,15 @@ report_single("single C=512", occ1, wq1)
 occ2, wq2 = fold_variant(1, 512)
 report_min("min2 C=512", occ1, wq1, occ2, wq2)
 del occ2, wq2
-occ1k, wq1k = fold_variant(0, 1024)
-report_single("single C=1024", occ1k, wq1k)
-occ2k, wq2k = fold_variant(2, 1024)
-report_min("min2 C=1024", occ1k, wq1k, occ2k, wq2k)
+if os.environ.get("LAB_SMALL", "0") == "1":
+    # 2×256 = the MAC/footprint budget of a single 512 fold
+    occ1s, wq1s = fold_variant(0, 256)
+    report_single("single C=256", occ1s, wq1s)
+    occ2s, wq2s = fold_variant(3, 256)
+    report_min("min2 C=256", occ1s, wq1s, occ2s, wq2s)
+    del occ1s, wq1s, occ2s, wq2s
+if os.environ.get("LAB_BIG", "1") == "1":
+    occ1k, wq1k = fold_variant(0, 1024)
+    report_single("single C=1024", occ1k, wq1k)
+    occ2k, wq2k = fold_variant(2, 1024)
+    report_min("min2 C=1024", occ1k, wq1k, occ2k, wq2k)

@@ -41,6 +41,17 @@ VARIANTS = {
     "c1024": dict(fold_dim=1024),
     "nowsel": dict(retrieval_window_select=False),
     "serial": dict(_serial=True),                     # sync after each group
+    # r5: hash count / rescore depth / select window sweep
+    "h1": dict(fold_hashes=1),
+    "h2": dict(fold_hashes=2),
+    "h2d64": dict(fold_hashes=2, rescore_depth=64),
+    "h1d64": dict(fold_hashes=1, rescore_depth=64),
+    # NOTE: fold_select_window > tb//128 is impossible at tb=2048 — the
+    # fused selector's out-block lane width tb//W must stay >= 128
+    "h2c256": dict(fold_hashes=2, fold_dim=256),
+    "r95": dict(topk_recall_target=0.95),
+    "h2r95": dict(fold_hashes=2, topk_recall_target=0.95),
+    "h2c256r95": dict(fold_hashes=2, fold_dim=256, topk_recall_target=0.95),
 }
 
 
@@ -56,6 +67,8 @@ def main():
         index = TruthIndex.load(idx_path)
     else:
         index = build_truth_index(truth, cfg0)
+        os.makedirs(os.path.dirname(idx_path), exist_ok=True)
+        index.save(idx_path)
     print(f"# index {time.time()-t0:.0f}s", file=sys.stderr)
 
     reverse = {t: i for t, i in zip(truth.transformed, truth.ids)}

@@ -28,6 +28,8 @@ C = int(os.environ.get("PROF_C", 512))
 QB = int(os.environ.get("PROF_QB", 128))
 LQ = int(os.environ.get("PROF_LQ", 64))
 KP = int(os.environ.get("PROF_KP", 128))
+RT = float(os.environ.get("PROF_RT", 0.95))
+FOLDS = int(os.environ.get("PROF_FOLDS", 2))
 K = 100
 TB = 2048
 V = 50653
@@ -44,7 +46,7 @@ def main():
     )
 
     r = np.random.default_rng(0)
-    mc = jnp.asarray(r.integers(0, 256, (C, NTP // 8), dtype=np.uint8))
+    mc = jnp.asarray(r.integers(0, 256, (FOLDS * C, NTP // 8), dtype=np.uint8))
     sums = jnp.asarray(r.random(NTP, dtype=np.float32) * 40 + 5)
     sums_perm = jnp.asarray(permute_sums(np.asarray(sums), TB))
     ltw = 56
@@ -55,8 +57,9 @@ def main():
         np.concatenate([r.random(V, dtype=np.float32) * 10, [0.0]]
                        ).astype(np.float32))
     fb_ext = idf_ext
-    fold_ext = jnp.asarray(
-        np.concatenate([r.integers(0, C, V), [C]]).astype(np.int32))
+    fold_ext = jnp.asarray(np.stack([
+        np.concatenate([r.integers(0, C, V), [C]]).astype(np.int32)
+        for _ in range(FOLDS)]))
     nt = jnp.int32(NTP - 7)
 
     def timed(fn, ops, label):
@@ -85,22 +88,31 @@ def main():
         print(f"# {label}: {dt*1e3:.2f} ms/block", file=sys.stderr)
         return dt
 
-    # 1a. weight fold, scatter-add (production)
+    def multi_weights(ids, idf_ext, fold_ext):
+        parts = []
+        for f in range(FOLDS):
+            wf, w_val = _coarse_weights(ids, idf_ext, fold_ext[f], C,
+                                        jnp.bfloat16)
+            parts.append(wf)
+        wfold = parts[0] if FOLDS == 1 else jnp.concatenate(parts, axis=1)
+        return wfold, w_val
+
+    # 1a. weight fold, scatter-add (production; all hashes)
     def wf_scatter(bump, ids, idf_ext, fold_ext):
-        return _coarse_weights(ids + bump, idf_ext, fold_ext, C, jnp.bfloat16)
+        return multi_weights(ids + bump, idf_ext, fold_ext)
     t_wf = timed(wf_scatter, (ids, idf_ext, fold_ext), "weight fold (scatter)")
 
     # 1b. one-hot-sum variant
     def wf_onehot(bump, ids, idf_ext, fold_ext):
         ids = ids + bump
         w_val = idf_ext[ids]
-        fpos = fold_ext[ids]
+        fpos = fold_ext[0][ids]
         oh = (fpos[:, :, None] == jnp.arange(C, dtype=jnp.int32)).astype(
             jnp.float32)
         return (w_val[:, :, None] * oh).sum(1).astype(jnp.bfloat16), w_val
     t_wf2 = timed(wf_onehot, (ids, idf_ext, fold_ext), "weight fold (one-hot)")
 
-    wfold, w_val = _coarse_weights(ids, idf_ext, fold_ext, C, jnp.bfloat16)
+    wfold, w_val = multi_weights(ids, idf_ext, fold_ext)
     maxint = fb_ext[ids].sum(axis=1)
     wfold, w_val, maxint = jax.block_until_ready((wfold, w_val, maxint))
 
@@ -109,7 +121,7 @@ def main():
         return jaccard_topk_pallas_v2(
             mc, sums_perm, wfold + bump.astype(wfold.dtype), maxint, None,
             nt, k=KP, tb=TB, uc=C,
-            score_dtype="bfloat16", recall_target=0.99, window_select=True)
+            score_dtype="bfloat16", recall_target=RT, window_select=True, folds=FOLDS)
     t_coarse = timed(coarse, (mc, sums_perm, wfold, maxint, nt),
                      f"coarse+select k'={KP}")
     vals_c, pos_c = coarse(jnp.int32(0), mc, sums_perm, wfold, maxint, nt)
@@ -133,11 +145,11 @@ def main():
     # 5. full folded step
     def full(bump, mc, sums_perm, sums, tl, ids, idf_ext, fb_ext, fold_ext, nt):
         ids = ids + bump
-        wfold, w_val = _coarse_weights(ids, idf_ext, fold_ext, C, jnp.bfloat16)
+        wfold, w_val = multi_weights(ids, idf_ext, fold_ext)
         maxint = fb_ext[ids].sum(axis=1)
         v, p = jaccard_topk_pallas_v2(
             mc, sums_perm, wfold, maxint, None, nt, k=KP, tb=TB, uc=C,
-            score_dtype="bfloat16", recall_target=0.99, window_select=True)
+            score_dtype="bfloat16", recall_target=RT, window_select=True, folds=FOLDS)
         return _rescore_exact(tl, sums, ids, w_val, maxint, v, p, nt, K)
     t_full = timed(full, (mc, sums_perm, sums, tl32, ids, idf_ext, fb_ext,
                           fold_ext, nt), "FULL folded block (int32 TL)")
@@ -146,7 +158,8 @@ def main():
 
     import json
     out = {
-        "ntp": NTP, "C": C, "qb": QB, "kprime": KP,
+        "ntp": NTP, "C": C, "qb": QB, "kprime": KP, "recall_target": RT,
+        "fold_hashes": FOLDS,
         "wf_scatter_ms": round(t_wf * 1e3, 3),
         "wf_onehot_ms": round(t_wf2 * 1e3, 3),
         "coarse_select_ms": round(t_coarse * 1e3, 3),

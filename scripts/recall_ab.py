@@ -78,13 +78,20 @@ for name, cfg in [
                                     topk_recall_target=0.99,
                                     retrieval_window_select=True,
                                     retrieval_mode="exact")),
-    ("folded_c512_d128", base.with_(fold_dim=512, rescore_depth=128, **fold)),
-    ("folded_c256_d128", base.with_(fold_dim=256, rescore_depth=128, **fold)),
-    ("folded_c512_d64", base.with_(fold_dim=512, rescore_depth=64, **fold)),
-    ("folded_c1024_d128", base.with_(fold_dim=1024, rescore_depth=128, **fold)),
-    ("folded_c512_d128_nowsel", base.with_(fold_dim=512, rescore_depth=128,
-                                           retrieval_window_select=False,
-                                           **fold)),
+    ("folded_c512_d128_h1", base.with_(fold_dim=512, rescore_depth=128,
+                                       fold_hashes=1, **fold)),
+    ("folded_c512_d128_h2", base.with_(fold_dim=512, rescore_depth=128,
+                                       fold_hashes=2, **fold)),
+    ("folded_c512_d64_h2", base.with_(fold_dim=512, rescore_depth=64,
+                                      fold_hashes=2, **fold)),
+    ("folded_c256_d128_h2", base.with_(fold_dim=256, rescore_depth=128,
+                                       fold_hashes=2, **fold)),
+    ("folded_c1024_d128_h1", base.with_(fold_dim=1024, rescore_depth=128,
+                                        fold_hashes=1, **fold)),
+    ("folded_c512_d128_h2_nowsel", base.with_(fold_dim=512, rescore_depth=128,
+                                              fold_hashes=2,
+                                              retrieval_window_select=False,
+                                              **fold)),
 ]:
     queries = TitleSet.from_titles(q_titles, config=cfg)
     scorer = JaccardScorer(index, cfg, truth=truth)

@@ -145,9 +145,12 @@ def test_fold_query_block_results_invariant(world):
 
 def test_folded_pallas_interpret_matches_xla(world):
     """The pallas coarse kernel (interpret mode on CPU) agrees with the XLA
-    folded path (identical f32 exact-select config on both sides)."""
+    folded path (identical f32 exact-select single-hash config on both
+    sides — the XLA fallback always runs one hash, so kernel parity is
+    only defined at fold_hashes=1)."""
     cfg, truth, queries, index, *_ = world
-    base = dict(retrieval_mode="folded", fold_dim=512, rescore_depth=32)
+    base = dict(retrieval_mode="folded", fold_dim=512, rescore_depth=32,
+                fold_hashes=1)
     sub_rows = np.arange(64)
     s_x = JaccardScorer(index, cfg.with_(retrieval_impl="xla", **base),
                         truth=truth)
@@ -159,3 +162,92 @@ def test_folded_pallas_interpret_matches_xla(world):
     vp, pp = s_p.topk(queries, k=10, rows=sub_rows)
     np.testing.assert_allclose(vx, vp, rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(px, pp)
+
+
+def test_two_hash_injective_equals_exact(world):
+    """fold_hashes=2 with injective folds: both per-hash numerators are the
+    exact intersection, their min is too — the whole two-hash pallas path
+    must reproduce the exact scorer bit-for-bit."""
+    cfg, truth, queries, index, vs_e, ps_e = world
+    cfgf = cfg.with_(retrieval_mode="folded", fold_dim=8192, rescore_depth=32,
+                     fold_hashes=2, retrieval_impl="pallas_interpret")
+    folded = JaccardScorer(index, cfgf, truth=truth)
+    assert folded.folded.folds == 2
+    assert folded.folded.mc_d.shape[0] == 2 * 8192
+    vs_f, ps_f = folded.topk(queries, k=25)
+    np.testing.assert_allclose(vs_e, vs_f, rtol=1e-5, atol=1e-6)
+    # positions: exact wherever the score is NOT tied with a neighbour (the
+    # second hash's different f32 accumulation order legitimately permutes
+    # equal-score ties; the single-hash test keeps the bitwise gate)
+    tied_lo = np.concatenate(
+        [np.zeros((vs_e.shape[0], 1), bool), vs_e[:, 1:] >= vs_e[:, :-1] - 1e-7],
+        axis=1)
+    tied_hi = np.concatenate(
+        [vs_e[:, :-1] <= vs_e[:, 1:] + 1e-7, np.zeros((vs_e.shape[0], 1), bool)],
+        axis=1)
+    untied = ~(tied_lo | tied_hi)
+    assert untied.any()
+    np.testing.assert_array_equal(ps_e[untied], ps_f[untied])
+
+
+def test_two_hash_coarse_is_tighter_upper_bound(world):
+    """Lossy fold_hashes=2 raw coarse scores (rescore_depth=0) still
+    dominate the exact scores of the same pairs, and are pointwise <= the
+    single-hash (first hash) coarse bound."""
+    cfg, truth, queries, index, vs_e, ps_e = world
+    base = dict(retrieval_mode="folded", fold_dim=256, rescore_depth=0,
+                retrieval_impl="pallas_interpret")
+    c2 = JaccardScorer(index, cfg.with_(fold_hashes=2, **base), truth=truth)
+    vs_c, ps_c = c2.topk(queries, k=25)
+    lookup = {
+        (i, int(ps_c[i, j])): vs_c[i, j]
+        for i in range(ps_c.shape[0]) for j in range(ps_c.shape[1])
+    }
+    hits = 0
+    for i in range(ps_e.shape[0]):
+        for j in range(ps_e.shape[1]):
+            key = (i, int(ps_e[i, j]))
+            if key in lookup:
+                assert lookup[key] >= vs_e[i, j] - 1e-5
+                hits += 1
+    assert hits > 0
+    # tighter than (or equal to) the single-hash bound on shared pairs
+    c1 = JaccardScorer(index, cfg.with_(fold_hashes=1, **base), truth=truth)
+    vs_1, ps_1 = c1.topk(queries, k=25)
+    one = {
+        (i, int(ps_1[i, j])): vs_1[i, j]
+        for i in range(ps_1.shape[0]) for j in range(ps_1.shape[1])
+    }
+    shared = 0
+    for key, v2 in lookup.items():
+        if key in one:
+            assert v2 <= one[key] + 1e-5
+            shared += 1
+    assert shared > 0
+
+
+def test_two_hash_lossy_head_and_exact_scores(world):
+    """fold_hashes=2 production-style config: the strong head survives and
+    every retained candidate carries its exact score (same gates as the
+    single-hash test)."""
+    cfg, truth, queries, index, vs_e, ps_e = world
+    cfgf = cfg.with_(retrieval_mode="folded", fold_dim=512, rescore_depth=128,
+                     fold_hashes=2, retrieval_impl="pallas_interpret")
+    folded = JaccardScorer(index, cfgf, truth=truth)
+    vs_f, ps_f = folded.topk(queries, k=25)
+    strong = vs_e >= 0.15
+    head_loss = np.where(strong, vs_e - vs_f, 0.0).max()
+    assert float(head_loss) < 1e-5
+    assert strong.any()
+    score_e = {
+        (i, int(ps_e[i, j])): vs_e[i, j]
+        for i in range(ps_e.shape[0]) for j in range(ps_e.shape[1])
+    }
+    checked = 0
+    for i in range(ps_f.shape[0]):
+        for j in range(ps_f.shape[1]):
+            key = (i, int(ps_f[i, j]))
+            if key in score_e:
+                assert abs(vs_f[i, j] - score_e[key]) < 1e-5
+                checked += 1
+    assert checked > 0
