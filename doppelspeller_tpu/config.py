@@ -112,13 +112,15 @@ class Config:
     # (no per-block row gather, ~2.3x fewer MACs at fold_dim=512), then the
     # top rescore_depth candidates per query are rescored EXACTLY against
     # the per-title trigram lists — only coarse recall@rescore_depth is
-    # approximate.  Measured at 500k titles (RECALL_AB.json r5):
-    # true-match retention 0.981 at C=512 vs 0.990 exact (0.984 at
-    # C=1024; identical at depth 64 and 128 — the loss is C-bound, not
-    # depth-bound), top-1 agreement vs exact-f32 0.956 (the exact path's
-    # own approx select sits at 0.961); deep-tail top-100 members
-    # (low-score ties) are not reproduced.  Gated end-to-end by the
-    # bench oracle anchor.  rescore_depth=0 returns raw coarse top-k.
+    # approximate.  Measured at 500k titles (RECALL_AB.json, two-hash
+    # production config folded_c512_d128_h2): true-match retention
+    # 0.99011 — EQUAL to the exact path's own top-100 retention (the
+    # single-hash r4 engine read 0.980); top-1 agreement vs exact-f32
+    # 0.960 (the exact path's own approx select sits at 0.961);
+    # recall@100 vs exact 0.684 — deep-tail top-100 members (low-score
+    # ties) are not reproduced, but the cascade consumes only the head.
+    # Gated end-to-end by the bench oracle anchor.  rescore_depth=0
+    # returns raw coarse top-k.
     retrieval_mode: str = "auto"
     fold_dim: int = 512
     # independent df-balanced fold partitions; the coarse numerator is the
