@@ -200,6 +200,17 @@ def main():
     print(f"# synthetic world: {n_titles} titles / {n_queries} queries "
           f"in {t_data:.1f}s", file=sys.stderr)
 
+    # pay TPU session attach here, visibly: the tunnel-attached pool takes
+    # 100-340 s to grant the first device op of a fresh process, and letting
+    # it land inside the training phase made the 50k index build read as
+    # 273-633 s when the build itself is ~10 s
+    import jax
+
+    t0 = time.time()
+    jax.block_until_ready(jax.device_put(np.zeros(8, np.float32)))
+    print(f"# tpu session attach: {time.time()-t0:.1f}s "
+          f"({jax.devices()[0].platform})", file=sys.stderr)
+
     # train first (small device footprint), then build the big index
     t0 = time.time()
     model = quick_train_model(cfg, truth, rounds)
@@ -252,7 +263,15 @@ def main():
     queries.encoded_token_sorted
     queries.encoded_wo
     queries.trigram_ids()
-    print(f"# warmup: {time.time()-t0:.1f}s", file=sys.stderr)
+    # one untimed full-scale pass: the stratified warmups above compile every
+    # program but run ~13 model-stage slabs where the timed run dispatches 32
+    # — the first full-scale execution still pays ~30 ms/slab of
+    # first-dispatch overhead plus ~0.5 s of host candidate concat, which put
+    # rep0 29% over the median (model stage 2.99 s vs 1.74 s, BENCH_r05).
+    # The headline is steady-state throughput; warm with the real workload.
+    matcher.predict(queries)
+    print(f"# warmup: {time.time()-t0:.1f}s (incl. 1 full-scale pass)",
+          file=sys.stderr)
 
     # the tunnel-attached TPU's throughput swings run to run (worker
     # restarts, remote contention); the HEADLINE is the median of >=3 timed
