@@ -31,7 +31,6 @@ n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 1_024
 
 from doppelspeller_tpu.config import TRIGRAM_VOCAB_SIZE, Config
 from doppelspeller_tpu.ops.fold import build_fold_map
-from doppelspeller_tpu.utils import text as T
 from doppelspeller_tpu.utils.io import TitleSet
 from doppelspeller_tpu.utils.misspell import generate_misspelled_name
 
