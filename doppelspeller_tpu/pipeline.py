@@ -860,6 +860,20 @@ class Matcher:
                 )
                 a_wins = mx_a[widen] >= mx_b[widen]   # ties keep A (first col)
                 tie = mx_a[widen] == mx_b[widen]
+                LOGGER.info(
+                    "model wave B: tail won %d/%d widened rows, %d head=tail "
+                    "ties", int((~a_wins).sum()), len(widen), int(tie.sum()),
+                )
+                dump = os.environ.get("DOPPEL_DUMP_WAVES")
+                if dump:
+                    # offline trust-threshold calibration: per widened row,
+                    # both waves' (max, argpos, tie-count) — lets any
+                    # candidate model_trust_threshold be evaluated from one
+                    # full-depth run (see config.model_trust_threshold)
+                    np.savez(dump, widen=widen, mx_a=mx_a[widen],
+                             mx_b=mx_b[widen], pos_a=pos_a[widen],
+                             pos_b=pos_b[widen], cnt_a=cnt_a[widen],
+                             cnt_b=cnt_b[widen])
                 mx_a[widen] = np.where(a_wins, mx_a[widen], mx_b[widen])
                 pos_a[widen] = np.where(a_wins, pos_a[widen], pos_b[widen])
                 cnt_a[widen] = np.where(
