@@ -211,7 +211,14 @@ class Config:
     # is essentially always the global argmax, and the tail could only
     # overturn it with a candidate scoring >= the trusted max.  Measured on
     # the full reference example set (10k queries, 537-tree model): 0/10000
-    # final matches differ between 0.995 and never-trusting; the bench
+    # final matches differ between 0.995 and never-trusting.  On the
+    # synthetic bench world (500k x 100k, 60-tree model, head-max p50 0.993)
+    # trusting IS lossy but the threshold curve is flat and the trade bad
+    # in both directions (scripts/sweep_trust.py, r5): full-depth 4.76 s
+    # end-to-end / accuracy 0.82049; t=0.995 4.22 s / 0.82001 (140 output
+    # diffs); t=0.99 4.17 s / 0.81992; t=0.98 4.14 s / 0.81985 — each
+    # further 0.05 s costs ~1 bp of accuracy, while never-trusting buys
+    # +0.05 % accuracy for +0.54 s (13 %).  0.995 is the knee; the bench
     # oracle anchor additionally gates accuracy every run.  2.0 disables
     # trusting (every widened row scores its full tail)
     model_trust_threshold: float = 0.995
