@@ -6,9 +6,10 @@ PYTHON ?= python
 .PHONY: test test-heavy test-all lint stage-example-data build-index train-model \
         generate-predictions closest-search get-predictions-accuracy bench
 
-# Test lanes (measured on the 8-CPU virtual mesh, r5):
-#   make test      fast lane, ~119 s  (104 tests; skips `heavy` and `slow`)
-#   heavy lane     ~310 s             (5 compile-bound integration tests)
+# Test lanes (measured on the 8-CPU virtual mesh, late r5):
+#   make test      fast lane, ~159 s  (115 tests; skips `heavy` and `slow`)
+#   heavy lane     10 compile-bound integration tests (~310 s when it held 5;
+#                                      round-5 additions roughly double that)
 #   slow lane      >10 min            (2 full CPU train→predict example-dataset
 #                                      parity runs — nightly material; the TPU
 #                                      PARITY.json run covers the same path)
